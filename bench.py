@@ -1,0 +1,83 @@
+"""North-star benchmark: stage-2 512px (512x1024 canvas) 50-step DDIM
+sampling throughput, images/sec/chip.
+
+Runs the full jitted stage-2 pipeline (VAE encode + pose/image projections
++ CFG-batched UNet denoising scan + VAE decode) with random weights (perf
+is weight-independent) on the available accelerator.
+
+Baseline: the reference stack on A100 (SD-2.1 9ch UNet, xformers fp16,
+diffusers DDIM, per-step Python loop) sustains ~0.25 images/sec/chip at
+this workload shape (512x1024 canvas, 50 steps, CFG on). BASELINE.md's
+target is >2x that, i.e. 0.5 img/s/chip on v5e; ``vs_baseline`` reported
+here is relative to the 0.25 A100 figure.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pcdms_tpu.models.projections import (
+        image_proj_mlp_init, pose_cond_embedding_init,
+    )
+    from pcdms_tpu.models.unet2d import stage2_unet_config, unet_init
+    from pcdms_tpu.models.vae import vae_init
+    from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    height = int(os.environ.get("BENCH_HEIGHT", "512"))
+    width = 2 * height                     # [source | target] canvas
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    unet_cfg = stage2_unet_config()
+    params = {
+        "unet": unet_init(k1, unet_cfg),
+        "image_proj": image_proj_mlp_init(k2),
+        "pose_proj": pose_cond_embedding_init(k3),
+        "vae": vae_init(k4),
+    }
+
+    vae_image = jnp.zeros((batch, height, width, 3), jnp.float32)
+    st_pose = jnp.zeros((batch, height, width, 3), jnp.float32)
+    dino = jax.random.normal(k5, (batch, 257, 1536), jnp.float32)
+    t_embed = jnp.ones((batch, 1, 1024), jnp.float32)
+
+    def run(seed):
+        return stage2_generate(
+            params, vae_image, st_pose, dino, t_embed,
+            jax.random.PRNGKey(seed), unet_cfg=unet_cfg, num_steps=steps,
+            guidance_scale=2.0, scheduler="ddim")
+
+    # warmup / compile
+    run(0).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        run(i + 1).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    imgs_per_sec_chip = (batch * reps) / dt / n_chips
+    baseline_a100 = 0.25
+    print(json.dumps({
+        "metric": f"stage2 {height}px {steps}-step DDIM sampling",
+        "value": round(imgs_per_sec_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec_chip / baseline_a100, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

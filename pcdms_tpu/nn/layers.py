@@ -1,0 +1,219 @@
+"""Core functional layers.
+
+Every layer is a pair of functions:
+
+  * ``<name>_init(key, ...) -> params``  — a nested dict of jnp arrays
+  * ``<name>_apply(params, x, ...) -> y`` — a pure function
+
+Params are stored in float32; apply functions compute in the dtype of the
+input (cast weights on the fly), while normalization statistics are always
+accumulated in float32. Conv layout is NHWC with HWIO kernels (TPU-native);
+the torch checkpoint converter (pcdms_tpu/compat) transposes OIHW -> HWIO.
+
+Semantics deliberately match the reference stack's torch modules so that
+converted checkpoints are bit-comparable:
+  * GELU is the exact (erf) variant, matching ``torch.nn.GELU`` as used by
+    the reference MLPs (/root/reference/stage2_train_inpaint_model.py:42-48).
+  * LayerNorm / GroupNorm epsilons are passed per call-site.
+  * The sinusoidal timestep embedding matches diffusers ``Timesteps``
+    (flip_sin_to_cos / downscale_freq_shift), used by the prior
+    (/root/reference/src/models/stage1_prior_transformer.py:94) and the
+    SD-2.1 UNet.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch-default-like: kaiming-uniform with a=sqrt(5))
+# ---------------------------------------------------------------------------
+
+def _torch_linear_init(key, fan_in: int, shape, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
+                dtype=jnp.float32, zero_init: bool = False):
+    """Dense layer params. kernel: (in, out)."""
+    kkey, bkey = jax.random.split(key)
+    if zero_init:
+        kernel = jnp.zeros((in_dim, out_dim), dtype)
+    else:
+        kernel = _torch_linear_init(kkey, in_dim, (in_dim, out_dim), dtype)
+    params = {"kernel": kernel}
+    if use_bias:
+        params["bias"] = (jnp.zeros((out_dim,), dtype) if zero_init
+                          else _torch_linear_init(bkey, in_dim, (out_dim,), dtype))
+    return params
+
+
+def linear_apply(params, x):
+    y = x @ params["kernel"].astype(x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel_size: int = 3,
+                use_bias: bool = True, dtype=jnp.float32,
+                zero_init: bool = False):
+    """2D conv params, NHWC/HWIO."""
+    kkey, bkey = jax.random.split(key)
+    fan_in = in_ch * kernel_size * kernel_size
+    shape = (kernel_size, kernel_size, in_ch, out_ch)
+    if zero_init:
+        kernel = jnp.zeros(shape, dtype)
+    else:
+        kernel = _torch_linear_init(kkey, fan_in, shape, dtype)
+    params = {"kernel": kernel}
+    if use_bias:
+        params["bias"] = (jnp.zeros((out_ch,), dtype) if zero_init
+                          else _torch_linear_init(bkey, fan_in, (out_ch,), dtype))
+    return params
+
+
+def conv2d_apply(params, x, stride: int = 1, padding="SAME"):
+    """x: (B, H, W, C). padding: 'SAME', 'VALID', or explicit [(lo,hi),(lo,hi)]."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def layer_norm_init(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm_apply(params, x, eps: float = 1e-5):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def group_norm_init(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def group_norm_apply(params, x, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over NHWC (stats per group over H, W and in-group channels)."""
+    dtype = x.dtype
+    b, h, w, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def group_norm_1d_apply(params, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over (B, L, C) token sequences (Transformer2D pre-norm)."""
+    dtype = x.dtype
+    b, l, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(b, l, g, c // g)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 3), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, l, c)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# activations (exact-gelu for torch parity)
+# ---------------------------------------------------------------------------
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# timestep embeddings
+# ---------------------------------------------------------------------------
+
+def timestep_sinusoidal_embedding(timesteps, dim: int,
+                                  flip_sin_to_cos: bool = True,
+                                  downscale_freq_shift: float = 0.0,
+                                  max_period: float = 10000.0,
+                                  scale: float = 1.0):
+    """Sinusoidal timestep features, diffusers-``Timesteps`` compatible.
+
+    timesteps: (B,) float or int array. Returns (B, dim) float32.
+    """
+    half_dim = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        out = jnp.concatenate([cos, sin], axis=-1)
+    else:
+        out = jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+def timestep_embedding_init(key, in_dim: int, time_embed_dim: int,
+                            out_dim: Optional[int] = None, dtype=jnp.float32):
+    """diffusers ``TimestepEmbedding``: linear -> SiLU -> linear."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear_1": linear_init(k1, in_dim, time_embed_dim, dtype=dtype),
+        "linear_2": linear_init(k2, time_embed_dim, out_dim or time_embed_dim,
+                                dtype=dtype),
+    }
+
+
+def timestep_embedding_apply(params, x):
+    x = linear_apply(params["linear_1"], x)
+    x = silu(x)
+    x = linear_apply(params["linear_2"], x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+def dropout(key, x, rate: float, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def nearest_upsample_2x(x):
+    """(B, H, W, C) -> (B, 2H, 2W, C), nearest-neighbor (torch F.interpolate)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

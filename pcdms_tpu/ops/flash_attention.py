@@ -1,0 +1,166 @@
+"""Pallas TPU flash attention.
+
+Replaces the reference stack's xformers / SDPA fused attention
+(/root/reference/stage1_train_prior_model.py:125-137,
+ /root/reference/src/pipelines/PCDMs_pipeline.py:59-153) with a single
+TPU-native kernel: online-softmax attention with float32 accumulation,
+bf16 MXU compute, tiled over (batch*heads, q-blocks, k-blocks).
+
+The kernel assumes full (non-causal) attention — the PCDMs workloads are
+UNet self-attention (up to 8192 latent tokens at 512x1024) and cross
+attention over 258 image-condition tokens; neither is causal. Ragged
+key lengths are handled by padding K/V to a block multiple and masking
+the padded columns with -inf before the softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def attention_reference(q, k, v, scale=None):
+    """Plain XLA attention. q: (B, H, Lq, D), k/v: (B, H, Lk, D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+                  m_ref, l_ref, acc_ref,
+                  *, scale: float, kv_len: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                       # (bq, d)
+    k = k_ref[0]                       # (bk, d)
+    v = v_ref[0]                       # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                          # (bq, bk) f32
+
+    # Mask padded key columns (static kv_len, dynamic block index).
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, 0:1]             # (bq, 1)
+    l_prev = l_ref[:, 0:1]             # (bq, 1)
+
+    m_cur = jnp.max(s, axis=-1, keepdims=True)            # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                       # (bq, 1)
+    p = jnp.exp(s - m_new)                                # (bq, bk)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (bq, d)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_attention_3d(q, k, v, scale: float,
+                        block_q: int, block_k: int, interpret: bool):
+    """q: (BH, Lq, D), k/v: (BH, Lk, D)."""
+    bh, lq, d = q.shape
+    kv_len = k.shape[1]
+
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(kv_len, block_k)
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != kv_len:
+        k = jnp.pad(k, ((0, 0), (0, lk_pad - kv_len), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_pad - kv_len), (0, 0)))
+
+    grid = (bh, lq_pad // block_q, lk_pad // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                               block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, d), jnp.float32),     # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq_pad * lk_pad * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=bh * lq_pad * lk_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :lq, :]
+
+
+def flash_attention(q, k, v, scale=None, *, block_q: int = 256,
+                    block_k: int = 256, force_pallas: bool = False,
+                    interpret: bool = False):
+    """Fused multi-head attention. q: (B, H, Lq, D), k/v: (B, H, Lk, D).
+
+    Uses the Pallas kernel on TPU; falls back to plain XLA attention on
+    other backends (tests exercise the kernel via ``interpret=True``).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or force_pallas or interpret):
+        return attention_reference(q, k, v, scale)
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    q3 = q.reshape(b * h, lq, d)
+    k3 = k.reshape(b * h, lk, d)
+    v3 = v.reshape(b * h, lk, d)
+    out = _flash_attention_3d(q3, k3, v3, float(scale), block_q, block_k,
+                              interpret)
+    return out.reshape(b, h, lq, d)

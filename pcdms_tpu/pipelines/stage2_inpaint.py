@@ -1,0 +1,157 @@
+"""Stage-2 pose-conditioned inpainting pipeline — the flagship workload.
+
+Mirrors ``Stage2_InpaintDiffusionPipeline.__call__``
+(/root/reference/src/pipelines/stage2_inpaint_pipeline.py:391-532) and its
+``Simple_``/demo variant, re-designed as ONE jitted program: on-device VAE
+encode of the [source | black] canvas, half-mask construction, ControlNet
+pose encoding, DINOv2-feature projection, CFG-batched UNet denoising under a
+single ``lax.scan`` (DDIM or UniPC), and VAE decode — no host round-trips
+between steps.
+
+Conditioning layout (matches the reference exactly):
+  * UNet input: concat([noisy_latents, mask, masked_latents], channels) = 9ch
+  * mask: [ones | zeros] at latent scale — source half = 1
+  * cross-attention tokens: [proj(DINOv2 257x1536 -> 1024), target CLIP embed]
+    = 258 tokens; CFG negative = zeros
+  * class_labels (full variant): target CLIP embedding (stage-1 output)
+  * pose: skeleton render -> 320ch map added to conv_in output; NOT dropped
+    for CFG (duplicated for both halves)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcdms_tpu.diffusion.guidance import apply_cfg
+from pcdms_tpu.diffusion.schedules import sd21_schedule
+from pcdms_tpu.models.projections import (
+    image_proj_mlp_apply, pose_cond_embedding_apply,
+)
+from pcdms_tpu.models.unet2d import UNetConfig, unet_apply
+from pcdms_tpu.models.vae import VAEConfig, vae_decode, vae_encode
+from pcdms_tpu.pipelines.sampling import SAMPLERS
+from pcdms_tpu.utils.tree import cast_pytree
+
+
+def build_half_mask(batch: int, latent_h: int, latent_w: int, dtype):
+    """[ones | zeros] latent mask — source (left) half = 1
+    (stage2_train_inpaint_model.py:337-339)."""
+    half = latent_w // 2
+    mask = jnp.concatenate([
+        jnp.ones((batch, latent_h, half, 1), dtype),
+        jnp.zeros((batch, latent_h, latent_w - half, 1), dtype),
+    ], axis=2)
+    return mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "vae_cfg", "num_steps",
+                     "guidance_scale", "guidance_rescale",
+                     "scheduler", "num_samples", "compute_dtype",
+                     "decode"),
+)
+def stage2_generate(params, vae_image, st_pose, dino_features,
+                    pred_t_embed, rng, *,
+                    unet_cfg: UNetConfig,
+                    vae_cfg: VAEConfig = VAEConfig(),
+                    num_steps: int = 20,
+                    guidance_scale: float = 2.0,
+                    guidance_rescale: float = 0.0,
+                    scheduler: str = "unipc",
+                    num_samples: int = 1,
+                    compute_dtype=jnp.bfloat16,
+                    decode: bool = True):
+    """Generate target-pose images.
+
+    params: {"unet", "image_proj", "pose_proj", "vae"} param pytrees.
+    vae_image: (B, H, 2W, 3) [source | black] canvas in [-1, 1].
+    st_pose: (B, H, 2W, 3) [source pose | target pose] skeleton render.
+    dino_features: (B, 257, 1536) DINOv2 last_hidden_state of the source.
+    pred_t_embed: (B, 1, 1024) stage-1 predicted target CLIP embedding, or
+        None for the simplified/demo variant (no class embedding).
+    num_samples: samples per input pair (reference best-of-4 protocol).
+
+    Returns (B*num_samples, H, 2W, 3) images in [-1, 1] (or latents if
+    decode=False), grouped sample-major: output[i*B + b] is sample i of
+    input b.
+    """
+    schedule = sd21_schedule()
+    cparams = cast_pytree(params, compute_dtype)
+    use_cfg = guidance_scale > 1.0
+
+    b, img_h, img_w, _ = vae_image.shape
+    lh, lw = img_h // 8, img_w // 8
+
+    rng_latents, rng_vae = jax.random.split(rng)
+
+    # --- conditions (computed once, outside the scan) ---
+    proj_f = image_proj_mlp_apply(cparams["image_proj"],
+                                  dino_features.astype(compute_dtype))
+    if pred_t_embed is not None:
+        embed = pred_t_embed.astype(compute_dtype)
+        feature_f = jnp.concatenate([proj_f, embed], axis=1)   # (B, 258, D)
+        class_labels = embed[:, 0, :]
+    else:
+        feature_f = proj_f
+        class_labels = None
+
+    pose_cond = pose_cond_embedding_apply(cparams["pose_proj"],
+                                          st_pose.astype(compute_dtype))
+
+    masked_latents = vae_encode(cparams["vae"],
+                                vae_image.astype(compute_dtype),
+                                rng=rng_vae, cfg=vae_cfg).astype(jnp.float32)
+    mask = build_half_mask(b, lh, lw, jnp.float32)
+
+    # --- replicate for num_samples (sample-major) ---
+    def tile(x):
+        return None if x is None else jnp.concatenate([x] * num_samples, 0)
+
+    feature_f = tile(feature_f)
+    class_labels = tile(class_labels)
+    pose_cond = tile(pose_cond)
+    masked_latents = tile(masked_latents)
+    mask = tile(mask)
+    n = b * num_samples
+
+    # --- CFG doubling: zero image features, duplicated pose/mask/latents ---
+    if use_cfg:
+        feature_f = jnp.concatenate(
+            [jnp.zeros_like(feature_f), feature_f], axis=0)
+        if class_labels is not None:
+            class_labels = jnp.concatenate(
+                [jnp.zeros_like(class_labels), class_labels], axis=0)
+        pose_cond = jnp.concatenate([pose_cond] * 2, axis=0)
+        mask_d = jnp.concatenate([mask] * 2, axis=0)
+        masked_d = jnp.concatenate([masked_latents] * 2, axis=0)
+    else:
+        mask_d, masked_d = mask, masked_latents
+
+    mask_d = mask_d.astype(compute_dtype)
+    masked_d = masked_d.astype(compute_dtype)
+
+    def model_eps(x, t):
+        lat = jnp.concatenate([x] * 2, 0) if use_cfg else x
+        inp = jnp.concatenate(
+            [lat.astype(compute_dtype), mask_d, masked_d], axis=-1)
+        tt = jnp.broadcast_to(t, (inp.shape[0],))
+        eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f,
+                         class_labels=class_labels, pose_cond=pose_cond)
+        eps = eps.astype(jnp.float32)
+        if use_cfg:
+            eps = apply_cfg(eps, guidance_scale, guidance_rescale)
+        return eps
+
+    x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
+    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps)
+
+    if not decode:
+        return latents
+    images = vae_decode(cparams["vae"], latents.astype(compute_dtype),
+                        cfg=vae_cfg)
+    return images.astype(jnp.float32)

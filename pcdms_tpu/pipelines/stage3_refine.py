@@ -1,0 +1,96 @@
+"""Stage-3 refinement pipeline: img2img polish of the stage-2 output.
+
+Mirrors ``Stage3_RefinedPipeline.__call__``
+(/root/reference/src/pipelines/stage3_refined_pipeline.py:443-565): the
+stage-2 generated image's VAE latents are concatenated with the noisy
+latents (8 channels total) and denoised conditioned on projected DINOv2
+source features; CFG zeroes both the features and the gen-latents.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pcdms_tpu.diffusion.guidance import apply_cfg
+from pcdms_tpu.diffusion.schedules import sd21_schedule
+from pcdms_tpu.models.projections import image_proj_mlp_apply
+from pcdms_tpu.models.unet2d import UNetConfig, unet_apply
+from pcdms_tpu.models.vae import VAEConfig, vae_decode, vae_encode
+from pcdms_tpu.pipelines.sampling import SAMPLERS
+from pcdms_tpu.utils.tree import cast_pytree
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "vae_cfg", "num_steps",
+                     "guidance_scale", "guidance_rescale",
+                     "scheduler", "num_samples", "compute_dtype",
+                     "decode"),
+)
+def stage3_generate(params, gen_image, dino_features, rng, *,
+                    unet_cfg: UNetConfig,
+                    vae_cfg: VAEConfig = VAEConfig(),
+                    num_steps: int = 20,
+                    guidance_scale: float = 2.0,
+                    guidance_rescale: float = 0.0,
+                    scheduler: str = "unipc",
+                    num_samples: int = 1,
+                    compute_dtype=jnp.bfloat16,
+                    decode: bool = True):
+    """Refine stage-2 outputs.
+
+    params: {"unet", "image_proj", "vae"}.
+    gen_image: (B, H, W, 3) stage-2 generated target image in [-1, 1].
+    dino_features: (B, 257, 1536) DINOv2 features of the *source* image.
+    Returns (B*num_samples, H, W, 3) refined images in [-1, 1].
+    """
+    schedule = sd21_schedule()
+    cparams = cast_pytree(params, compute_dtype)
+    use_cfg = guidance_scale > 1.0
+    b, img_h, img_w, _ = gen_image.shape
+    lh, lw = img_h // 8, img_w // 8
+
+    rng_latents, rng_vae = jax.random.split(rng)
+
+    feature_f = image_proj_mlp_apply(cparams["image_proj"],
+                                     dino_features.astype(compute_dtype))
+    gen_latents = vae_encode(cparams["vae"], gen_image.astype(compute_dtype),
+                             rng=rng_vae, cfg=vae_cfg).astype(jnp.float32)
+
+    def tile(x):
+        return jnp.concatenate([x] * num_samples, 0)
+
+    feature_f = tile(feature_f)
+    gen_latents = tile(gen_latents)
+    n = b * num_samples
+
+    if use_cfg:
+        feature_f = jnp.concatenate(
+            [jnp.zeros_like(feature_f), feature_f], axis=0)
+        gen_d = jnp.concatenate(
+            [jnp.zeros_like(gen_latents), gen_latents], axis=0)
+    else:
+        gen_d = gen_latents
+    gen_d = gen_d.astype(compute_dtype)
+
+    def model_eps(x, t):
+        lat = jnp.concatenate([x] * 2, 0) if use_cfg else x
+        inp = jnp.concatenate([lat.astype(compute_dtype), gen_d], axis=-1)
+        tt = jnp.broadcast_to(t, (inp.shape[0],))
+        eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f)
+        eps = eps.astype(jnp.float32)
+        if use_cfg:
+            eps = apply_cfg(eps, guidance_scale, guidance_rescale)
+        return eps
+
+    x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
+    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps)
+
+    if not decode:
+        return latents
+    images = vae_decode(cparams["vae"], latents.astype(compute_dtype),
+                        cfg=vae_cfg)
+    return images.astype(jnp.float32)

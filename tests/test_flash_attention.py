@@ -1,0 +1,56 @@
+"""Pallas flash-attention kernel vs plain XLA attention (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcdms_tpu.ops.flash_attention import attention_reference, flash_attention
+
+
+@pytest.mark.parametrize("lq,lk", [
+    (256, 256),     # aligned self-attention
+    (512, 512),     # multi-block
+    (300, 258),     # ragged (cross-attention over 258 image tokens)
+    (64, 77),       # small + ragged
+])
+def test_kernel_matches_reference(lq, lk):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, d = 2, 3, 64
+    q = jax.random.normal(kq, (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, lk, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, lk, d), jnp.float32)
+
+    expected = attention_reference(q, k, v)
+    got = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_bf16(
+):
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, lq, d = 1, 2, 256, 64
+    q = jax.random.normal(kq, (b, h, lq, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, lq, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, lq, d), jnp.bfloat16)
+    expected = attention_reference(q.astype(jnp.float32),
+                                   k.astype(jnp.float32),
+                                   v.astype(jnp.float32))
+    got = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expected), atol=3e-2, rtol=3e-2)
+
+
+def test_softmax_stability_large_logits():
+    q = jnp.full((1, 1, 128, 64), 8.0, jnp.float32)
+    k = jnp.full((1, 1, 128, 64), 8.0, jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 128, 64))
+    got = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    assert np.isfinite(np.asarray(got)).all()
+    # uniform attention -> output = mean of v
+    np.testing.assert_allclose(
+        np.asarray(got[0, 0, 0]), np.asarray(jnp.mean(v[0, 0], axis=0)),
+        atol=1e-5)
