@@ -60,12 +60,17 @@ def main():
             jax.random.PRNGKey(seed), unet_cfg=unet_cfg, num_steps=steps,
             guidance_scale=2.0, scheduler="ddim")
 
-    # warmup / compile
-    run(0).block_until_ready()
+    # Reduce on device and read ONE scalar back: under the remote-TPU
+    # tunnel block_until_ready() does not actually block, and transferring
+    # full images through the relay would dominate the measurement.
+    checksum = jax.jit(jnp.sum)
+
+    # warmup / compile (the float() read is the real synchronization)
+    float(checksum(run(0)))
 
     t0 = time.perf_counter()
     for i in range(reps):
-        run(i + 1).block_until_ready()
+        float(checksum(run(i + 1)))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -1,0 +1,93 @@
+"""Shared CLI plumbing: flag definitions matching the reference's
+``run_*.sh`` launchers and ``src/configs/stage*_config.py`` argparse
+surface, plus model construction (converted weights or random init)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+
+def setup_logging():
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S", level=logging.INFO)
+
+
+def add_common_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None,
+                   help="local SD-2.1 model dir (unet/ + vae/ subfolders)")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--img_height", type=int, default=512)
+    p.add_argument("--img_width", type=int, default=512)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--max_train_steps", type=int, default=1_000_000)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--checkpointing_steps", type=int, default=5000)
+    p.add_argument("--noise_offset", type=float, default=0.1)
+    p.add_argument("--lr_warmup_steps", type=int, default=5000)
+    p.add_argument("--lr_scheduler", type=str,
+                   default="constant_with_warmup")
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "fp16", "bf16"],
+                   help="fp16 is accepted for flag parity; bf16 is used")
+    p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="rematerialize UNet blocks in backward (remat)")
+    p.add_argument("--json_path", type=str, default=None)
+    p.add_argument("--image_root_path", type=str, default="")
+    p.add_argument("--report_to", type=str, default=None)
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state along the data axis")
+    p.add_argument("--random_init", action="store_true",
+                   help="random-init all models (smoke testing without "
+                        "local checkpoints)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of steps 3-6 here")
+
+
+def train_config_from_args(args):
+    from pcdms_tpu.train.common import TrainConfig
+    return TrainConfig(
+        learning_rate=args.learning_rate,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        lr_scheduler=args.lr_scheduler,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        noise_offset=args.noise_offset,
+        zero1=args.zero1,
+    )
+
+
+def compute_dtype_from_args(args):
+    return jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16
+
+
+def default_mesh():
+    from pcdms_tpu.parallel.mesh import make_mesh
+    return make_mesh()
+
+
+def save_images(images, paths):
+    """images: (N, H, W, 3) float in [-1, 1] -> PNG files."""
+    import numpy as np
+    from PIL import Image
+    arr = np.asarray(images)
+    arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for img, path in zip(arr, paths):
+        Image.fromarray(img).save(path)

@@ -1,0 +1,126 @@
+"""Stage-1 batch test CLI.
+
+Equivalent of /root/reference/stage1_batchtest_prior_model.py: predict
+target CLIP embeddings for every test pair, save ``{src}_to_{tgt}.npy``
+files (the stage-1 -> stage-2 disk handoff), and append the mean cosine
+similarity vs the GT embeddings to ``a_results.txt``.
+
+TPU-first: instead of one process per GPU with a chunked test list, the
+whole batch runs through a single jitted, device-batched sampling loop;
+multi-host runs shard the pair list by process index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcdms_tpu.cli.common import setup_logging
+
+logger = logging.getLogger("pcdms_tpu.stage1_batchtest")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json_path", type=str, required=True)
+    p.add_argument("--image_root_path", type=str, default="")
+    p.add_argument("--img_path", type=str, default=None,
+                   help="unused; flag parity")
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--weights_name", type=str, default=None,
+                   help="trained prior checkpoint (torch .pt or orbax dir)")
+    p.add_argument("--image_encoder_path", type=str, default=None)
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    p.add_argument("--guidance_scale", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--random_init", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    setup_logging()
+    args = parse_args(argv)
+    os.makedirs(args.save_path, exist_ok=True)
+
+    from pcdms_tpu.data.datasets import PairList
+    from pcdms_tpu.data.preprocess import clip_preprocess, load_image
+    from pcdms_tpu.eval.metrics import cosine_similarity
+    from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
+    from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
+    from pcdms_tpu.pipelines.stage1_prior import stage1_generate
+    from pcdms_tpu.pose.keypoints import read_pose_txt
+    from pcdms_tpu.train.encoders import clip_image_embed
+
+    prior_cfg = PriorConfig()
+    clip_cfg = clip_vit_h14_config()
+    key = jax.random.PRNGKey(args.seed)
+    if args.random_init:
+        prior = prior_init(key, prior_cfg)
+        clip = vit_init(key, clip_cfg)
+    else:
+        from pcdms_tpu.compat.load import load_clip_vision, load_state_dict
+        from pcdms_tpu.compat.torch_convert import (
+            convert_prior, split_reference_checkpoint,
+        )
+        sd = load_state_dict(args.weights_name)
+        groups = split_reference_checkpoint(sd)
+        prior = convert_prior(groups.get("prior", sd))
+        clip = load_clip_vision(args.image_encoder_path)
+
+    pairs = PairList(args.json_path, args.image_root_path).shard(
+        jax.process_index(), jax.process_count())
+
+    t0 = time.time()
+    sims = []
+    bs = args.batch_size
+    items = pairs.pairs
+    for start in range(0, len(items), bs):
+        chunk = items[start:start + bs]
+        s_pix = np.stack([
+            clip_preprocess(load_image(pairs.image_path(i["source_image"])))
+            for i in chunk])
+        t_pix = np.stack([
+            clip_preprocess(load_image(pairs.image_path(i["target_image"])))
+            for i in chunk])
+        s_pose = np.stack([
+            read_pose_txt(pairs.pose_txt_path(i["source_image"]))
+            for i in chunk])
+        t_pose = np.stack([
+            read_pose_txt(pairs.pose_txt_path(i["target_image"]))
+            for i in chunk])
+
+        s_embed = clip_image_embed(clip, jnp.asarray(s_pix), cfg=clip_cfg)
+        t_embed = clip_image_embed(clip, jnp.asarray(t_pix), cfg=clip_cfg)
+
+        pred = stage1_generate(
+            prior, s_embed, jnp.asarray(s_pose), jnp.asarray(t_pose),
+            jax.random.PRNGKey(args.seed + start),
+            prior_cfg=prior_cfg, num_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale)
+        pred = np.asarray(pred)
+
+        for i, item in enumerate(chunk):
+            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+            np.save(os.path.join(args.save_path, f"{s}_to_{t}.npy"),
+                    pred[i:i + 1])
+        sims.extend(cosine_similarity(pred, np.asarray(t_embed)).tolist())
+        logger.info("processed %d/%d", min(start + bs, len(items)),
+                    len(items))
+
+    mean_sim = float(np.mean(sims))
+    elapsed = time.time() - t0
+    logger.info("mean cosine similarity: %.5f (%.1fs)", mean_sim, elapsed)
+    with open(os.path.join(args.save_path, "a_results.txt"), "a") as f:
+        f.write(f"{args.weights_name}  {mean_sim}\n")
+
+
+if __name__ == "__main__":
+    main()

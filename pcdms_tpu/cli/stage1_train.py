@@ -1,0 +1,114 @@
+"""Stage-1 prior trainer CLI (flag parity with run_stage1.sh +
+stage1_train_prior_model.py): diffuse target CLIP embeddings from pose
+coordinates. Default hyperparameters follow the launcher (bs 128/device
+group, lr 1e-5, 100k steps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from pcdms_tpu.cli.common import (
+    add_common_train_flags, compute_dtype_from_args, default_mesh,
+    setup_logging, train_config_from_args,
+)
+
+logger = logging.getLogger("pcdms_tpu.stage1_train")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_train_flags(p)
+    p.add_argument("--image_encoder_path", type=str, default=None,
+                   help="local CLIP ViT-H dir")
+    p.add_argument("--prior_path", type=str, default=None,
+                   help="local Kandinsky-2-2 prior dir for weight init")
+    p.add_argument("--s_img_drop_rate", type=float, default=0.1)
+    p.add_argument("--s_pose_drop_rate", type=float, default=0.1)
+    p.add_argument("--t_pose_drop_rate", type=float, default=0.1)
+    p.add_argument("--log_every", type=int, default=50)
+    p.set_defaults(learning_rate=1e-5, train_batch_size=128,
+                   max_train_steps=100_000)
+    return p.parse_args(argv)
+
+
+def build_models(args):
+    from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
+    from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
+
+    prior_cfg = PriorConfig()
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    if args.random_init:
+        prior = prior_init(k1, prior_cfg)
+        clip = vit_init(k2, clip_vit_h14_config())
+    else:
+        from pcdms_tpu.compat.load import load_clip_vision, load_prior
+        prior = (load_prior(args.prior_path) if args.prior_path
+                 else prior_init(k1, prior_cfg))
+        clip = load_clip_vision(args.image_encoder_path)
+    return prior_cfg, prior, clip
+
+
+def make_batches(args, clip_params):
+    from pcdms_tpu.data.datasets import (
+        PairList, Stage1Dataset, batch_iterator,
+    )
+    from pcdms_tpu.models.vit import clip_vit_h14_config
+    from pcdms_tpu.train.encoders import clip_image_embed
+
+    pairs = PairList(args.json_path, args.image_root_path).shard(
+        jax.process_index(), jax.process_count())
+    dataset = Stage1Dataset(pairs, size=(args.img_width, args.img_height),
+                            s_img_drop_rate=args.s_img_drop_rate,
+                            s_pose_drop_rate=args.s_pose_drop_rate,
+                            t_pose_drop_rate=args.t_pose_drop_rate,
+                            seed=args.seed)
+    clip_cfg = clip_vit_h14_config()
+
+    for batch in batch_iterator(dataset, args.train_batch_size,
+                                seed=args.seed):
+        s_embed = clip_image_embed(clip_params,
+                                   jnp.asarray(batch["clip_s_img"]),
+                                   cfg=clip_cfg)
+        t_embed = clip_image_embed(clip_params,
+                                   jnp.asarray(batch["clip_t_img"]),
+                                   cfg=clip_cfg)
+        yield {
+            "s_embed": s_embed,
+            "t_embed": t_embed,
+            "s_pose": batch["s_pose"],
+            "t_pose": batch["t_pose"],
+        }
+
+
+def main(argv=None):
+    setup_logging()
+    args = parse_args(argv)
+    tcfg = train_config_from_args(args)
+    dtype = compute_dtype_from_args(args)
+
+    prior_cfg, prior, clip = build_models(args)
+
+    from pcdms_tpu.train.loop import run_training
+    from pcdms_tpu.train.stage1 import stage1_loss_fn
+
+    loss_fn = stage1_loss_fn(prior_cfg, noise_offset=args.noise_offset,
+                             compute_dtype=dtype)
+    mesh = default_mesh()
+    batches = make_batches(args, clip)
+    run_training(loss_fn, prior, batches, tcfg, mesh=mesh,
+                 rng=jax.random.PRNGKey(args.seed),
+                 output_dir=args.output_dir,
+                 checkpointing_steps=args.checkpointing_steps,
+                 log_every=args.log_every,
+                 resume_from_checkpoint=args.resume_from_checkpoint,
+                 profile_dir=args.profile_dir)
+
+
+if __name__ == "__main__":
+    main()

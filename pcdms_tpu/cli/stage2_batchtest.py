@@ -1,0 +1,178 @@
+"""Stage-2 batch test CLI.
+
+Equivalent of /root/reference/stage2_batchtest_inpaint_model.py: for every
+test pair, build the [source | black] canvas and [source pose | target
+pose] skeleton canvas, sample ``num_images_per_prompt`` candidates with
+UniPC, keep the best-SSIM right-half crop vs the GT target, and write it
+as ``{src}_to_{tgt}.png`` (the stage-2 -> stage-3 handoff).
+
+Train-mode vs test-mode conditioning follows the reference's switch: if
+the json filename starts with 'train', the GT target CLIP embedding is
+used; otherwise the stage-1 ``.npy`` predictions are loaded from
+--prior_embeds_dir (stage2_batchtest_inpaint_model.py:176-185).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcdms_tpu.cli.common import save_images, setup_logging
+
+logger = logging.getLogger("pcdms_tpu.stage2_batchtest")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json_path", type=str, required=True)
+    p.add_argument("--image_root_path", type=str, default="")
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--weights_name", type=str, default=None,
+                   help="monolithic stage-2 checkpoint (.pt)")
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--image_encoder_p_path", type=str, default=None)
+    p.add_argument("--prior_embeds_dir", type=str, default=None,
+                   help="stage-1 .npy output dir (test mode)")
+    p.add_argument("--img_width", type=int, default=512)
+    p.add_argument("--img_height", type=int, default=512)
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    p.add_argument("--guidance_scale", type=float, default=2.0)
+    p.add_argument("--num_images_per_prompt", type=int, default=4)
+    p.add_argument("--scheduler", type=str, default="unipc",
+                   choices=["unipc", "ddim"])
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--simple_variant", action="store_true",
+                   help="released simplified ckpt: no prior/class embed")
+    return p.parse_args(argv)
+
+
+def best_of_n_ssim(candidates: np.ndarray, gt: np.ndarray) -> int:
+    """candidates: (N, H, W, 3) in [-1,1]; gt: (H, W, 3) in [-1,1].
+    Returns the index with the best SSIM (reference
+    stage2_batchtest_inpaint_model.py:212-225)."""
+    from pcdms_tpu.eval.metrics import compare_ssim
+    gt01 = (gt + 1.0) / 2.0
+    scores = [compare_ssim((c + 1.0) / 2.0, gt01, data_range=1.0,
+                           win_size=7) for c in candidates]
+    return int(np.argmax(scores))
+
+
+def main(argv=None):
+    setup_logging()
+    args = parse_args(argv)
+    os.makedirs(args.save_path, exist_ok=True)
+
+    from pcdms_tpu.data.datasets import PairList
+    from pcdms_tpu.data.preprocess import (
+        black_like, clip_preprocess, load_image, make_side_by_side,
+        to_neg1_1,
+    )
+    from pcdms_tpu.models.projections import (
+        image_proj_mlp_init, pose_cond_embedding_init,
+    )
+    from pcdms_tpu.models.unet2d import stage2_unet_config, unet_init
+    from pcdms_tpu.models.vae import vae_init
+    from pcdms_tpu.models.vit import dinov2_giant_config, vit_init
+    from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
+    from pcdms_tpu.train.encoders import dino_features
+
+    unet_cfg = stage2_unet_config(with_class_embed=not args.simple_variant)
+    dino_cfg = dinov2_giant_config()
+    key = jax.random.PRNGKey(args.seed)
+    ks = jax.random.split(key, 5)
+
+    if args.random_init:
+        params = {
+            "unet": unet_init(ks[0], unet_cfg),
+            "image_proj": image_proj_mlp_init(ks[1]),
+            "pose_proj": pose_cond_embedding_init(ks[2]),
+            "vae": vae_init(ks[3]),
+        }
+        dino = vit_init(ks[4], dino_cfg)
+    else:
+        from pcdms_tpu.compat.load import (
+            load_dinov2, load_pcdms_stage2_checkpoint, load_sd_vae,
+        )
+        params = load_pcdms_stage2_checkpoint(args.weights_name)
+        params["vae"] = load_sd_vae(args.pretrained_model_name_or_path)
+        dino = load_dinov2(args.image_encoder_p_path)
+
+    pairs = PairList(args.json_path, args.image_root_path).shard(
+        jax.process_index(), jax.process_count())
+    train_mode = os.path.basename(args.json_path).startswith("train")
+    size = (args.img_width, args.img_height)
+
+    if train_mode:
+        from pcdms_tpu.models.vit import clip_vit_h14_config
+        logger.info("train-mode conditioning: GT CLIP embeddings")
+
+    t0 = time.time()
+    items = pairs.pairs
+    bs = args.batch_size
+    for start in range(0, len(items), bs):
+        chunk = items[start:start + bs]
+        s_imgs = [load_image(pairs.image_path(i["source_image"]), size)
+                  for i in chunk]
+        t_imgs = [load_image(pairs.image_path(i["target_image"]), size)
+                  for i in chunk]
+        s_poses = [load_image(pairs.pose_img_path(i["source_image"]), size)
+                   for i in chunk]
+        t_poses = [load_image(pairs.pose_img_path(i["target_image"]), size)
+                   for i in chunk]
+
+        canvas = np.stack([
+            to_neg1_1(make_side_by_side(s, black_like(s))) for s in s_imgs])
+        pose_canvas = np.stack([
+            to_neg1_1(make_side_by_side(sp, tp))
+            for sp, tp in zip(s_poses, t_poses)])
+        s_pix = np.stack([clip_preprocess(s) for s in s_imgs])
+        feats = dino_features(dino, jnp.asarray(s_pix), cfg=dino_cfg)
+
+        if args.simple_variant:
+            embeds = None
+        elif args.prior_embeds_dir:
+            embeds = []
+            for item in chunk:
+                s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+                t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+                embeds.append(np.load(os.path.join(
+                    args.prior_embeds_dir, f"{s}_to_{t}.npy")).reshape(1, -1))
+            embeds = jnp.asarray(np.stack(embeds))
+        else:
+            raise SystemExit("need --prior_embeds_dir or --simple_variant "
+                             "(or a train-mode json with CLIP weights)")
+
+        images = stage2_generate(
+            params, jnp.asarray(canvas), jnp.asarray(pose_canvas), feats,
+            embeds, jax.random.PRNGKey(args.seed + start),
+            unet_cfg=unet_cfg, num_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, scheduler=args.scheduler,
+            num_samples=args.num_images_per_prompt)
+        images = np.asarray(images)
+
+        n = len(chunk)
+        w = args.img_width
+        for i, item in enumerate(chunk):
+            cands = images[i::n][:, :, w:, :]       # right halves
+            gt = to_neg1_1(t_imgs[i])
+            best = best_of_n_ssim(cands, gt)
+            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+            save_images(cands[best:best + 1],
+                        [os.path.join(args.save_path, f"{s}_to_{t}.png")])
+        logger.info("processed %d/%d", min(start + bs, len(items)),
+                    len(items))
+
+    logger.info("done in %.1fs", time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Stage-2 inpainting trainer CLI.
+
+Flag-compatible with /root/reference/run_stage2.sh +
+stage2_train_inpaint_model.py; runs the SPMD train loop over all local
+devices. The frozen DINOv2/CLIP encoders run as a jitted encode pass per
+batch (the reference re-encodes under no_grad inside the step).
+
+    python -m pcdms_tpu.cli.stage2_train \
+        --pretrained_model_name_or_path /path/to/sd21 \
+        --image_encoder_p_path /path/to/dinov2-giant \
+        --image_encoder_g_path /path/to/clip-vit-h \
+        --json_path data.json --image_root_path /data \
+        --output_dir out --img_height 512 --img_width 512 \
+        --learning_rate 1e-4 --train_batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from pcdms_tpu.cli.common import (
+    add_common_train_flags, compute_dtype_from_args, default_mesh,
+    setup_logging, train_config_from_args,
+)
+
+logger = logging.getLogger("pcdms_tpu.stage2_train")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_train_flags(p)
+    p.add_argument("--image_encoder_p_path", type=str, default=None,
+                   help="local DINOv2-giant dir")
+    p.add_argument("--image_encoder_g_path", type=str, default=None,
+                   help="local CLIP ViT-H dir")
+    p.add_argument("--imgp_drop_rate", type=float, default=0.1)
+    p.add_argument("--imgg_drop_rate", type=float, default=0.1)
+    p.add_argument("--log_every", type=int, default=50)
+    return p.parse_args(argv)
+
+
+def build_models(args):
+    from pcdms_tpu.models.projections import (
+        image_proj_mlp_init, pose_cond_embedding_init,
+    )
+    from pcdms_tpu.models.unet2d import stage2_unet_config, unet_init
+    from pcdms_tpu.models.vae import vae_init
+    import dataclasses
+
+    from pcdms_tpu.models.vit import clip_vit_h14_config, dinov2_giant_config
+
+    unet_cfg = stage2_unet_config()
+    if args.gradient_checkpointing:
+        unet_cfg = dataclasses.replace(unet_cfg, remat=True)
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    if args.random_init:
+        unet = unet_init(k1, unet_cfg)
+        vae = vae_init(k2)
+        from pcdms_tpu.models.vit import vit_init
+        clip = vit_init(k3, clip_vit_h14_config())
+        dino = vit_init(k4, dinov2_giant_config())
+    else:
+        from pcdms_tpu.compat.load import (
+            load_clip_vision, load_dinov2, load_sd_unet, load_sd_vae,
+        )
+        unet = load_sd_unet(args.pretrained_model_name_or_path)
+        # SD-2.1 init: conv_in is 4ch -> grow to 9ch with zeros
+        # (ignore_mismatched_sizes=True equivalent)
+        unet = _grow_conv_in(unet, unet_cfg, k1)
+        unet = _maybe_init_class_embedding(unet, unet_cfg, k1)
+        vae = load_sd_vae(args.pretrained_model_name_or_path)
+        clip = load_clip_vision(args.image_encoder_g_path)
+        dino = load_dinov2(args.image_encoder_p_path)
+
+    trainable = {
+        "unet": unet,
+        "image_proj": image_proj_mlp_init(k5),
+        "pose_proj": pose_cond_embedding_init(k6),
+    }
+    return unet_cfg, trainable, vae, clip, dino
+
+
+def _grow_conv_in(unet_params, cfg, key):
+    import jax.numpy as jnp
+    kernel = unet_params["conv_in"]["kernel"]
+    if kernel.shape[2] < cfg.in_channels:
+        extra = jnp.zeros(kernel.shape[:2]
+                          + (cfg.in_channels - kernel.shape[2],
+                             kernel.shape[3]), kernel.dtype)
+        unet_params["conv_in"]["kernel"] = jnp.concatenate(
+            [kernel, extra], axis=2)
+    return unet_params
+
+
+def _maybe_init_class_embedding(unet_params, cfg, key):
+    if cfg.class_embed_proj_dim and "class_embedding" not in unet_params:
+        from pcdms_tpu.nn.layers import timestep_embedding_init
+        unet_params["class_embedding"] = timestep_embedding_init(
+            key, cfg.class_embed_proj_dim, cfg.time_embed_dim)
+    return unet_params
+
+
+def make_batches(args, clip_params, dino_params):
+    """Host data iterator + on-device frozen-encoder pass."""
+    from pcdms_tpu.data.datasets import (
+        PairList, Stage2Dataset, batch_iterator,
+    )
+    from pcdms_tpu.models.vit import clip_vit_h14_config, dinov2_giant_config
+    from pcdms_tpu.train.encoders import clip_image_embed, dino_features
+
+    pairs = PairList(args.json_path, args.image_root_path).shard(
+        jax.process_index(), jax.process_count())
+    dataset = Stage2Dataset(pairs, size=(args.img_width, args.img_height),
+                            imgp_drop_rate=args.imgp_drop_rate,
+                            imgg_drop_rate=args.imgg_drop_rate,
+                            seed=args.seed)
+    clip_cfg = clip_vit_h14_config()
+    dino_cfg = dinov2_giant_config()
+
+    for batch in batch_iterator(dataset, args.train_batch_size,
+                                seed=args.seed):
+        feats = dino_features(dino_params, jnp.asarray(batch["clip_s_img"]),
+                              cfg=dino_cfg)
+        embed = clip_image_embed(clip_params,
+                                 jnp.asarray(batch["clip_t_img"]),
+                                 cfg=clip_cfg)
+        yield {
+            "st_image": batch["st_image"],
+            "masked_image": batch["masked_image"],
+            "pose_image": batch["pose_image"],
+            "dino_features": feats,
+            "clip_embed": embed[:, None, :],
+        }
+
+
+def main(argv=None):
+    setup_logging()
+    args = parse_args(argv)
+    tcfg = train_config_from_args(args)
+    dtype = compute_dtype_from_args(args)
+
+    unet_cfg, trainable, vae, clip, dino = build_models(args)
+
+    from pcdms_tpu.train.loop import run_training
+    from pcdms_tpu.train.stage2 import stage2_loss_fn
+
+    loss_fn = stage2_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
+                             compute_dtype=dtype)
+    mesh = default_mesh()
+    batches = make_batches(args, clip, dino)
+    run_training(loss_fn, trainable, batches, tcfg, mesh=mesh,
+                 rng=jax.random.PRNGKey(args.seed),
+                 output_dir=args.output_dir,
+                 checkpointing_steps=args.checkpointing_steps,
+                 log_every=args.log_every,
+                 resume_from_checkpoint=args.resume_from_checkpoint,
+                 profile_dir=args.profile_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Stage-3 batch test CLI.
+
+Equivalent of /root/reference/stage3_batchtest_refined_model.py: refine
+each stage-2 generated image (read from --gen_dir, ``{src}_to_{tgt}.png``)
+conditioned on DINOv2 source features, best-of-N SSIM selection, write
+refined ``{src}_to_{tgt}.png`` to --save_path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcdms_tpu.cli.common import save_images, setup_logging
+from pcdms_tpu.cli.stage2_batchtest import best_of_n_ssim
+
+logger = logging.getLogger("pcdms_tpu.stage3_batchtest")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json_path", type=str, required=True)
+    p.add_argument("--image_root_path", type=str, default="")
+    p.add_argument("--gen_dir", type=str, required=True)
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--weights_name", type=str, default=None)
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--image_encoder_p_path", type=str, default=None)
+    p.add_argument("--img_width", type=int, default=512)
+    p.add_argument("--img_height", type=int, default=512)
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    p.add_argument("--guidance_scale", type=float, default=2.0)
+    p.add_argument("--num_images_per_prompt", type=int, default=4)
+    p.add_argument("--scheduler", type=str, default="unipc",
+                   choices=["unipc", "ddim"])
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--random_init", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    setup_logging()
+    args = parse_args(argv)
+    os.makedirs(args.save_path, exist_ok=True)
+
+    from pcdms_tpu.data.datasets import PairList, Stage3Dataset
+    from pcdms_tpu.data.preprocess import clip_preprocess, load_image, \
+        to_neg1_1
+    from pcdms_tpu.models.projections import image_proj_mlp_init
+    from pcdms_tpu.models.unet2d import stage3_unet_config, unet_init
+    from pcdms_tpu.models.vae import vae_init
+    from pcdms_tpu.models.vit import dinov2_giant_config, vit_init
+    from pcdms_tpu.pipelines.stage3_refine import stage3_generate
+    from pcdms_tpu.train.encoders import dino_features
+
+    unet_cfg = stage3_unet_config()
+    dino_cfg = dinov2_giant_config()
+    key = jax.random.PRNGKey(args.seed)
+    ks = jax.random.split(key, 4)
+
+    if args.random_init:
+        params = {
+            "unet": unet_init(ks[0], unet_cfg),
+            "image_proj": image_proj_mlp_init(ks[1]),
+            "vae": vae_init(ks[2]),
+        }
+        dino = vit_init(ks[3], dino_cfg)
+    else:
+        from pcdms_tpu.compat.load import (
+            load_dinov2, load_pcdms_stage3_checkpoint, load_sd_vae,
+        )
+        params = load_pcdms_stage3_checkpoint(args.weights_name)
+        params["vae"] = load_sd_vae(args.pretrained_model_name_or_path)
+        dino = load_dinov2(args.image_encoder_p_path)
+
+    pairs = PairList(args.json_path, args.image_root_path).shard(
+        jax.process_index(), jax.process_count())
+    helper = Stage3Dataset(pairs, args.gen_dir,
+                           size=(args.img_width, args.img_height))
+    size = (args.img_width, args.img_height)
+
+    t0 = time.time()
+    items = pairs.pairs
+    bs = args.batch_size
+    for start in range(0, len(items), bs):
+        chunk = items[start:start + bs]
+        gen_imgs = np.stack([
+            to_neg1_1(load_image(helper.gen_path(i), size)) for i in chunk])
+        gt_imgs = [to_neg1_1(load_image(pairs.image_path(i["target_image"]),
+                                        size)) for i in chunk]
+        s_pix = np.stack([
+            clip_preprocess(load_image(pairs.image_path(i["source_image"]),
+                                       size)) for i in chunk])
+        feats = dino_features(dino, jnp.asarray(s_pix), cfg=dino_cfg)
+
+        images = stage3_generate(
+            params, jnp.asarray(gen_imgs), feats,
+            jax.random.PRNGKey(args.seed + start), unet_cfg=unet_cfg,
+            num_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, scheduler=args.scheduler,
+            num_samples=args.num_images_per_prompt)
+        images = np.asarray(images)
+
+        n = len(chunk)
+        for i, item in enumerate(chunk):
+            cands = images[i::n]
+            best = best_of_n_ssim(cands, gt_imgs[i])
+            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+            save_images(cands[best:best + 1],
+                        [os.path.join(args.save_path, f"{s}_to_{t}.png")])
+        logger.info("processed %d/%d", min(start + bs, len(items)),
+                    len(items))
+
+    logger.info("done in %.1fs", time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

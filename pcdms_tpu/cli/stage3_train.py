@@ -1,0 +1,117 @@
+"""Stage-3 refinement trainer CLI (flag parity with run_stage3.sh +
+stage3_train_refined_model.py): polish stage-2 outputs with an 8-channel
+img2img UNet. Stage-2 generated images are read from --gen_dir using the
+``{src}_to_{tgt}.png`` layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from pcdms_tpu.cli.common import (
+    add_common_train_flags, compute_dtype_from_args, default_mesh,
+    setup_logging, train_config_from_args,
+)
+
+logger = logging.getLogger("pcdms_tpu.stage3_train")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_train_flags(p)
+    p.add_argument("--image_encoder_p_path", type=str, default=None,
+                   help="local DINOv2-giant dir")
+    p.add_argument("--gen_dir", type=str, default=None, required=False,
+                   help="directory of stage-2 generated images")
+    p.add_argument("--gen_drop_rate", type=float, default=0.1)
+    p.add_argument("--log_every", type=int, default=50)
+    p.set_defaults(learning_rate=1e-5, train_batch_size=16)
+    return p.parse_args(argv)
+
+
+def build_models(args):
+    from pcdms_tpu.models.projections import image_proj_mlp_init
+    from pcdms_tpu.models.unet2d import stage3_unet_config, unet_init
+    from pcdms_tpu.models.vae import vae_init
+    import dataclasses
+
+    from pcdms_tpu.models.vit import dinov2_giant_config, vit_init
+
+    unet_cfg = stage3_unet_config()
+    if args.gradient_checkpointing:
+        unet_cfg = dataclasses.replace(unet_cfg, remat=True)
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    if args.random_init:
+        unet = unet_init(k1, unet_cfg)
+        vae = vae_init(k2)
+        dino = vit_init(k3, dinov2_giant_config())
+    else:
+        from pcdms_tpu.compat.load import (
+            load_dinov2, load_sd_unet, load_sd_vae,
+        )
+        from pcdms_tpu.cli.stage2_train import _grow_conv_in
+        unet = load_sd_unet(args.pretrained_model_name_or_path)
+        unet = _grow_conv_in(unet, unet_cfg, k1)   # 4ch -> 8ch
+        vae = load_sd_vae(args.pretrained_model_name_or_path)
+        dino = load_dinov2(args.image_encoder_p_path)
+    trainable = {"unet": unet, "image_proj": image_proj_mlp_init(k4)}
+    return unet_cfg, trainable, vae, dino
+
+
+def make_batches(args, dino_params):
+    from pcdms_tpu.data.datasets import (
+        PairList, Stage3Dataset, batch_iterator,
+    )
+    from pcdms_tpu.models.vit import dinov2_giant_config
+    from pcdms_tpu.train.encoders import dino_features
+
+    pairs = PairList(args.json_path, args.image_root_path).shard(
+        jax.process_index(), jax.process_count())
+    dataset = Stage3Dataset(pairs, args.gen_dir,
+                            size=(args.img_width, args.img_height),
+                            gen_drop_rate=args.gen_drop_rate,
+                            seed=args.seed)
+    dino_cfg = dinov2_giant_config()
+
+    for batch in batch_iterator(dataset, args.train_batch_size,
+                                seed=args.seed):
+        feats = dino_features(dino_params, jnp.asarray(batch["clip_s_img"]),
+                              cfg=dino_cfg)
+        yield {
+            "target_image": batch["target_image"],
+            "gen_image": batch["gen_image"],
+            "dino_features": feats,
+        }
+
+
+def main(argv=None):
+    setup_logging()
+    args = parse_args(argv)
+    tcfg = train_config_from_args(args)
+    dtype = compute_dtype_from_args(args)
+
+    unet_cfg, trainable, vae, dino = build_models(args)
+
+    from pcdms_tpu.train.loop import run_training
+    from pcdms_tpu.train.stage3 import stage3_loss_fn
+
+    loss_fn = stage3_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
+                             compute_dtype=dtype)
+    mesh = default_mesh()
+    batches = make_batches(args, dino)
+    run_training(loss_fn, trainable, batches, tcfg, mesh=mesh,
+                 rng=jax.random.PRNGKey(args.seed),
+                 output_dir=args.output_dir,
+                 checkpointing_steps=args.checkpointing_steps,
+                 log_every=args.log_every,
+                 resume_from_checkpoint=args.resume_from_checkpoint,
+                 profile_dir=args.profile_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,9 @@ class UNetConfig:
     class_embed_proj_dim: Optional[int] = None   # 1024 for stage-2
     norm_groups: int = 32
     use_flash: bool = True
+    # rematerialize each down/mid/up block under grad (the reference's
+    # enable_gradient_checkpointing; XLA recomputes activations in bwd)
+    remat: bool = False
 
     @property
     def cross_attn_up(self):
@@ -153,25 +156,39 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
 
     ctx = encoder_hidden_states.astype(dtype)
 
+    def down_fn(block, x, emb, ctx):
+        return down_block_apply(block, x, emb, ctx, head_dim=cfg.head_dim,
+                                use_flash=cfg.use_flash,
+                                num_groups=cfg.norm_groups)
+
+    def mid_fn(block, x, emb, ctx):
+        return mid_block_apply(block, x, emb, ctx, head_dim=cfg.head_dim,
+                               use_flash=cfg.use_flash,
+                               num_groups=cfg.norm_groups)
+
+    def up_fn(block, x, block_skips, emb, ctx):
+        return up_block_apply(block, x, block_skips, emb, ctx,
+                              head_dim=cfg.head_dim,
+                              use_flash=cfg.use_flash,
+                              num_groups=cfg.norm_groups)
+
+    if cfg.remat:
+        down_fn = jax.checkpoint(down_fn)
+        mid_fn = jax.checkpoint(mid_fn)
+        up_fn = jax.checkpoint(up_fn)
+
     skips = [x]
     for block in params["down_blocks"]:
-        x, block_skips = down_block_apply(block, x, emb, ctx,
-                                          head_dim=cfg.head_dim,
-                                          use_flash=cfg.use_flash,
-                                          num_groups=cfg.norm_groups)
+        x, block_skips = down_fn(block, x, emb, ctx)
         skips.extend(block_skips)
 
-    x = mid_block_apply(params["mid_block"], x, emb, ctx,
-                        head_dim=cfg.head_dim, use_flash=cfg.use_flash,
-                        num_groups=cfg.norm_groups)
+    x = mid_fn(params["mid_block"], x, emb, ctx)
 
     for block in params["up_blocks"]:
         n = len(block["resnets"])
         block_skips = skips[-n:]
         del skips[-n:]
-        x = up_block_apply(block, x, block_skips, emb, ctx,
-                           head_dim=cfg.head_dim, use_flash=cfg.use_flash,
-                           num_groups=cfg.norm_groups)
+        x = up_fn(block, x, block_skips, emb, ctx)
 
     x = silu(group_norm_apply(params["conv_norm_out"], x,
                           cfg.norm_groups, 1e-5))

@@ -109,7 +109,7 @@ def _mid_apply(p, x, groups):
 def vae_init(key, cfg: VAEConfig = VAEConfig(), dtype=jnp.float32):
     chans = cfg.block_out_channels
     n = len(chans)
-    keys = jax.random.split(key, 32)
+    keys = jax.random.split(key, 64)
     ki = iter(keys)
 
     # --- encoder ---

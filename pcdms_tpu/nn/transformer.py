@@ -52,19 +52,23 @@ def attention_apply(params, x, context=None, *, heads: int,
     q = linear_apply(params["to_q"], x)
     k = linear_apply(params["to_k"], ctx)
     v = linear_apply(params["to_v"], ctx)
-    head_dim = q.shape[-1] // heads
-
-    q = q.reshape(b, lq, heads, head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
 
     if use_flash:
-        o = flash_attention(q, k, v)
+        head_dim = q.shape[-1] // heads
+        qh = q.reshape(b, lq, heads, head_dim).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
+        o = flash_attention(qh, kh, vh).transpose(0, 2, 1, 3)
+        o = o.reshape(b, lq, heads * head_dim)
     else:
         from pcdms_tpu.ops.flash_attention import attention_reference
-        o = attention_reference(q, k, v)
+        head_dim = q.shape[-1] // heads
+        qh = q.reshape(b, lq, heads, head_dim).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
+        o = attention_reference(qh, kh, vh).transpose(0, 2, 1, 3)
+        o = o.reshape(b, lq, heads * head_dim)
 
-    o = o.transpose(0, 2, 1, 3).reshape(b, lq, heads * head_dim)
     return linear_apply(params["to_out"], o)
 
 

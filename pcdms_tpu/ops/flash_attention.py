@@ -4,13 +4,20 @@ Replaces the reference stack's xformers / SDPA fused attention
 (/root/reference/stage1_train_prior_model.py:125-137,
  /root/reference/src/pipelines/PCDMs_pipeline.py:59-153) with a single
 TPU-native kernel: online-softmax attention with float32 accumulation,
-bf16 MXU compute, tiled over (batch*heads, q-blocks, k-blocks).
+bf16 MXU compute, tiled over a (batch*heads, q-blocks, k-blocks) grid.
 
-The kernel assumes full (non-causal) attention — the PCDMs workloads are
-UNet self-attention (up to 8192 latent tokens at 512x1024) and cross
-attention over 258 image-condition tokens; neither is causal. Ragged
-key lengths are handled by padding K/V to a block multiple and masking
-the padded columns with -inf before the softmax.
+TPU-specific design points (measured on v5e):
+  * Large blocks (default 1024x1024) amortize per-grid-step overhead —
+    the dominant cost at head_dim 64.
+  * The kv-pad mask is compiled out entirely when kv_len is already a
+    block multiple.
+  * The softmax scale is folded into the q block (bq x d elements)
+    instead of the score matrix (bq x bk).
+  * Short-kv cross-attention (the 258-token conditioning path) runs with
+    a single k block, degenerating into one-pass softmax.
+
+The kernel assumes full (non-causal) attention — PCDMs' UNet self- and
+cross-attention are both non-causal.
 """
 
 from __future__ import annotations
@@ -38,7 +45,8 @@ def attention_reference(q, k, v, scale=None):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
                   m_ref, l_ref, acc_ref,
-                  *, scale: float, kv_len: int, block_k: int):
+                  *, scale: float, kv_len: int, block_k: int,
+                  masked: bool):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -48,18 +56,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                       # (bq, d)
-    k = k_ref[0]                       # (bk, d)
-    v = v_ref[0]                       # (bk, d)
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)   # (bq, d), pre-scaled
+    k = k_ref[0]                                     # (bk, d)
+    v = v_ref[0]                                     # (bk, d)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                          # (bq, bk) f32
+    )                                                # (bq, bk) f32
 
-    # Mask padded key columns (static kv_len, dynamic block index).
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:, 0:1]             # (bq, 1)
     l_prev = l_ref[:, 0:1]             # (bq, 1)
@@ -107,7 +115,7 @@ def _flash_attention_3d(q, k, v, scale: float,
 
     grid = (bh, lq_pad // block_q, lk_pad // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
-                               block_k=block_k)
+                               block_k=block_k, masked=lk_pad != kv_len)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -132,16 +140,29 @@ def _flash_attention_3d(q, k, v, scale: float,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * lq_pad * lk_pad * d,
-            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
             transcendentals=bh * lq_pad * lk_pad,
         ),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :lq, :]
+    if lq_pad != lq:
+        out = out[:, :lq, :]
+    return out
 
 
-def flash_attention(q, k, v, scale=None, *, block_q: int = 256,
-                    block_k: int = 256, force_pallas: bool = False,
+def _pick_blocks(lq: int, lk: int, block_q: int, block_k: int):
+    # short kv (cross-attention): single k block -> one-pass softmax
+    if lk <= 2048:
+        block_k = _round_up(lk, 128)
+    else:
+        block_k = min(block_k, _round_up(lk, 128))
+    block_q = min(block_q, _round_up(lq, 128))
+    return block_q, block_k
+
+
+def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
+                    block_k: int = 1024, force_pallas: bool = False,
                     interpret: bool = False):
     """Fused multi-head attention. q: (B, H, Lq, D), k/v: (B, H, Lk, D).
 
@@ -156,11 +177,26 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 256,
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    block_q = min(block_q, _round_up(lq, 128))
-    block_k = min(block_k, _round_up(lk, 128))
+    block_q, block_k = _pick_blocks(lq, lk, block_q, block_k)
     q3 = q.reshape(b * h, lq, d)
     k3 = k.reshape(b * h, lk, d)
     v3 = v.reshape(b * h, lk, d)
     out = _flash_attention_3d(q3, k3, v3, float(scale), block_q, block_k,
                               interpret)
     return out.reshape(b, h, lq, d)
+
+
+def flash_attention_packed(q, k, v, heads: int, scale=None, *,
+                           block_q: int = 1024, block_k: int = 1024,
+                           interpret: bool = False):
+    """Fused attention on packed (B, L, H*D) tensors (the layout the
+    surrounding Linear projections produce)."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    d = hd // heads
+    qh = q.reshape(b, lq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, heads, d).transpose(0, 2, 1, 3)
+    o = flash_attention(qh, kh, vh, scale, block_q=block_q, block_k=block_k,
+                        interpret=interpret)
+    return o.transpose(0, 2, 1, 3).reshape(b, lq, hd)

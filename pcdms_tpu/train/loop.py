@@ -1,0 +1,91 @@
+"""Generic training-loop driver.
+
+The SPMD replacement for the reference's accelerate epoch/step loops
+(/root/reference/stage2_train_inpaint_model.py:324-406): one process
+drives the whole mesh; per-step metrics are already globally reduced by
+XLA (the loss is computed over the sharded batch), so there is no
+``accelerator.gather`` equivalent needed. Logging, checkpointing cadence
+and resume semantics mirror the reference flags.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from pcdms_tpu.parallel.mesh import shard_batch
+from pcdms_tpu.train import checkpoint as ckpt
+from pcdms_tpu.train.common import TrainConfig, init_train_state, \
+    make_train_step
+
+logger = logging.getLogger("pcdms_tpu.train")
+
+
+def run_training(loss_fn: Callable, params, batches: Iterator,
+                 cfg: TrainConfig, *, mesh=None, rng=None,
+                 output_dir: Optional[str] = None,
+                 checkpointing_steps: int = 5000,
+                 log_every: int = 50,
+                 resume_from_checkpoint: bool = False,
+                 max_train_steps: Optional[int] = None,
+                 profile_dir: Optional[str] = None,
+                 tensorboard_writer=None):
+    """Run the train loop; returns the final state.
+
+    batches yields host numpy dict batches (already encoder-processed).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    max_steps = max_train_steps or cfg.max_train_steps
+
+    state = init_train_state(params, cfg)
+    start_step = 0
+    if resume_from_checkpoint and output_dir:
+        latest = ckpt.latest_step(output_dir)
+        if latest is not None:
+            state, _, start_step = ckpt.restore_checkpoint(output_dir, state)
+            logger.info("resumed from %s at step %d", output_dir, start_step)
+
+    step_fn = make_train_step(loss_fn, cfg, mesh=mesh)
+
+    t_last = time.perf_counter()
+    examples_since_log = 0
+    step = start_step
+    for batch in batches:
+        if step >= max_steps:
+            break
+        if profile_dir and step == start_step + 3:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and step == start_step + 6:
+            jax.profiler.stop_trace()
+
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        step += 1
+        examples_since_log += len(jax.tree.leaves(batch)[0])
+
+        if step % log_every == 0 or step == start_step + 1:
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t_last
+            ips = examples_since_log / max(dt, 1e-9)
+            logger.info("step %d loss %.5f | %.1f examples/s (%.2f/s/chip)",
+                        step, loss, ips, ips / jax.device_count())
+            if tensorboard_writer is not None:
+                tensorboard_writer.scalar("train_loss", loss, step)
+                tensorboard_writer.scalar("examples_per_sec", ips, step)
+            t_last = time.perf_counter()
+            examples_since_log = 0
+
+        if output_dir and step % checkpointing_steps == 0:
+            ckpt.save_checkpoint(output_dir, step, state)
+            logger.info("checkpoint saved at step %d", step)
+
+    if output_dir:
+        ckpt.save_checkpoint(output_dir, step, state)
+    return state

@@ -4,7 +4,10 @@ tests emulate a v5e-8 slice without TPU hardware (SURVEY.md §4)."""
 import os
 
 # Hard override: the environment's sitecustomize pins JAX_PLATFORMS=axon
-# (remote TPU tunnel); tests must run on the local CPU mesh.
+# (remote TPU tunnel). Setting the env var alone is NOT enough under
+# pytest — a plugin may import jax before this conftest runs, capturing
+# the env value — so also update the live jax config (works as long as no
+# backend has been initialized yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -14,4 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; a jax backend was initialized before conftest "
+    f"could force it (got {jax.default_backend()})")
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}")

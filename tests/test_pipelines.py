@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests on tiny models (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
+from pcdms_tpu.models.projections import (
+    image_proj_mlp_init, pose_cond_embedding_init,
+)
+from pcdms_tpu.models.unet2d import UNetConfig, unet_init
+from pcdms_tpu.models.vae import VAEConfig, vae_init
+from pcdms_tpu.pipelines.cascade import cascade_generate
+from pcdms_tpu.pipelines.stage1_prior import stage1_generate
+from pcdms_tpu.pipelines.stage2_inpaint import (
+    build_half_mask, stage2_generate,
+)
+from pcdms_tpu.pipelines.stage3_refine import stage3_generate
+
+PRIOR_CFG = PriorConfig(num_heads=2, head_dim=8, num_layers=2,
+                        embedding_dim=16, pose_hidden=8)
+UNET2_CFG = UNetConfig(in_channels=9, block_out_channels=(8, 16, 16, 16),
+                       layers_per_block=1, cross_attention_dim=16,
+                       head_dim=8, class_embed_proj_dim=16, norm_groups=4,
+                       use_flash=False)
+UNET3_CFG = UNetConfig(in_channels=8, block_out_channels=(8, 16, 16, 16),
+                       layers_per_block=1, cross_attention_dim=16,
+                       head_dim=8, norm_groups=4, use_flash=False)
+VAE_CFG = VAEConfig(block_out_channels=(4, 8, 8, 8), layers_per_block=1,
+                    norm_groups=2)
+
+B, H, W = 1, 64, 64
+
+
+@pytest.fixture(scope="module")
+def models():
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    vae = vae_init(ks[1], VAE_CFG)
+    return {
+        "prior": prior_init(ks[0], PRIOR_CFG),
+        "s2": {"unet": unet_init(ks[2], UNET2_CFG),
+               "image_proj": image_proj_mlp_init(ks[3], 24, 16, 16),
+               "pose_proj": pose_cond_embedding_init(
+                   ks[4], out_channels=8, block_out_channels=(4, 4, 4, 4)),
+               "vae": vae},
+        "s3": {"unet": unet_init(ks[5], UNET3_CFG),
+               "image_proj": image_proj_mlp_init(ks[6], 24, 16, 16),
+               "vae": vae},
+    }
+
+
+class TestHalfMask:
+    def test_layout(self):
+        mask = build_half_mask(2, 4, 8, jnp.float32)
+        assert mask.shape == (2, 4, 8, 1)
+        np.testing.assert_array_equal(np.asarray(mask[:, :, :4, 0]), 1.0)
+        np.testing.assert_array_equal(np.asarray(mask[:, :, 4:, 0]), 0.0)
+
+
+class TestStage1Pipeline:
+    def test_shapes_and_determinism(self, models):
+        args = (jnp.ones((B, 16)), jnp.full((B, 36), 0.4),
+                jnp.full((B, 36), 0.6))
+        out1 = stage1_generate(models["prior"], *args,
+                               jax.random.PRNGKey(1), prior_cfg=PRIOR_CFG,
+                               num_steps=4, guidance_scale=0.0)
+        out2 = stage1_generate(models["prior"], *args,
+                               jax.random.PRNGKey(1), prior_cfg=PRIOR_CFG,
+                               num_steps=4, guidance_scale=0.0)
+        assert out1.shape == (B, 16)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_cfg_path(self, models):
+        out = stage1_generate(models["prior"], jnp.ones((B, 16)),
+                              jnp.full((B, 36), 0.4), jnp.full((B, 36), 0.6),
+                              jax.random.PRNGKey(1), prior_cfg=PRIOR_CFG,
+                              num_steps=3, guidance_scale=4.0)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestStage2Pipeline:
+    def _inputs(self):
+        k = jax.random.PRNGKey(9)
+        return (
+            jax.random.uniform(k, (B, H, 2 * W, 3), minval=-1, maxval=1),
+            jax.random.uniform(k, (B, H, 2 * W, 3), minval=-1, maxval=1),
+            jax.random.normal(k, (B, 5, 24)),
+            jnp.ones((B, 1, 16)),
+        )
+
+    def test_output_shape_multi_sample(self, models):
+        canvas, pose, dino, emb = self._inputs()
+        out = stage2_generate(models["s2"], canvas, pose, dino, emb,
+                              jax.random.PRNGKey(0), unet_cfg=UNET2_CFG,
+                              vae_cfg=VAE_CFG, num_steps=3,
+                              guidance_scale=2.0, scheduler="ddim",
+                              num_samples=3, compute_dtype=jnp.float32)
+        assert out.shape == (3 * B, H, 2 * W, 3)
+        # different samples must differ (different init noise)
+        assert not np.allclose(np.asarray(out[0]), np.asarray(out[B]))
+
+    def test_latents_only(self, models):
+        canvas, pose, dino, emb = self._inputs()
+        out = stage2_generate(models["s2"], canvas, pose, dino, emb,
+                              jax.random.PRNGKey(0), unet_cfg=UNET2_CFG,
+                              vae_cfg=VAE_CFG, num_steps=2,
+                              guidance_scale=0.0, scheduler="ddim",
+                              compute_dtype=jnp.float32, decode=False)
+        assert out.shape == (B, H // 8, 2 * W // 8, 4)
+
+
+class TestStage3Pipeline:
+    def test_output_shape(self, models):
+        gen = jax.random.uniform(jax.random.PRNGKey(3), (B, H, W, 3),
+                                 minval=-1, maxval=1)
+        dino = jax.random.normal(jax.random.PRNGKey(4), (B, 5, 24))
+        out = stage3_generate(models["s3"], gen, dino,
+                              jax.random.PRNGKey(5), unet_cfg=UNET3_CFG,
+                              vae_cfg=VAE_CFG, num_steps=2,
+                              guidance_scale=2.0, scheduler="unipc",
+                              compute_dtype=jnp.float32)
+        assert out.shape == (B, H, W, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestCascade:
+    def test_full_chain(self, models):
+        k = jax.random.PRNGKey(11)
+        out = cascade_generate(
+            models["prior"], models["s2"], models["s3"],
+            jnp.ones((B, 16)), jnp.full((B, 36), 0.4),
+            jnp.full((B, 36), 0.6),
+            jax.random.uniform(k, (B, H, 2 * W, 3), minval=-1, maxval=1),
+            jax.random.uniform(k, (B, H, 2 * W, 3), minval=-1, maxval=1),
+            jax.random.normal(k, (B, 5, 24)),
+            jax.random.PRNGKey(12),
+            prior_cfg=PRIOR_CFG, stage2_cfg=UNET2_CFG, stage3_cfg=UNET3_CFG,
+            vae_cfg=VAE_CFG, prior_steps=2, inpaint_steps=2, refine_steps=2,
+            scheduler="ddim", compute_dtype=jnp.float32)
+        assert out["embeds"].shape == (B, 16)
+        assert out["inpainted"].shape == (B, H, 2 * W, 3)
+        assert out["refined"].shape == (B, H, W, 3)
+        for v in out.values():
+            assert np.isfinite(np.asarray(v)).all()

@@ -178,7 +178,7 @@ class TestUniPC:
         probability-flow ODE."""
         s = sd21_schedule()
         mu, sd_ = 0.5, 2.0
-        ac = s.alphas_cumprod
+        ac = jnp.asarray(s.alphas_cumprod)   # device table: indexed by traced t
 
         def x0_post(x, t):
             a2 = ac[t]

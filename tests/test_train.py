@@ -1,0 +1,220 @@
+"""Training-stack tests: losses, SPMD step, ZeRO-1 sharding, checkpointing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
+from pcdms_tpu.models.projections import (
+    image_proj_mlp_init, pose_cond_embedding_init,
+)
+from pcdms_tpu.models.unet2d import UNetConfig, unet_init
+from pcdms_tpu.models.vae import VAEConfig, vae_init
+from pcdms_tpu.parallel.mesh import make_mesh, shard_batch, zero1_shardings
+from pcdms_tpu.train.common import (
+    TrainConfig, init_train_state, make_train_step,
+)
+from pcdms_tpu.train.stage1 import stage1_loss_fn
+from pcdms_tpu.train.stage2 import stage2_loss_fn
+from pcdms_tpu.train.stage3 import stage3_loss_fn
+
+PRIOR_CFG = PriorConfig(num_heads=2, head_dim=8, num_layers=2,
+                        embedding_dim=16, pose_hidden=8)
+UNET_CFG = UNetConfig(in_channels=9, block_out_channels=(8, 16, 16, 16),
+                      layers_per_block=1, cross_attention_dim=16, head_dim=8,
+                      class_embed_proj_dim=16, norm_groups=4, use_flash=False)
+UNET3_CFG = UNetConfig(in_channels=8, block_out_channels=(8, 16, 16, 16),
+                       layers_per_block=1, cross_attention_dim=16,
+                       head_dim=8, norm_groups=4, use_flash=False)
+VAE_CFG = VAEConfig(block_out_channels=(4, 8, 8, 8), layers_per_block=1,
+                    norm_groups=2)
+TCFG = TrainConfig(learning_rate=1e-3, lr_warmup_steps=1,
+                   max_train_steps=100)
+
+
+def stage1_batch(b=4):
+    rng = np.random.default_rng(0)
+    return {
+        "s_embed": rng.normal(size=(b, 16)).astype(np.float32),
+        "t_embed": rng.normal(size=(b, 16)).astype(np.float32),
+        "s_pose": rng.random((b, 36)).astype(np.float32),
+        "t_pose": rng.random((b, 36)).astype(np.float32),
+    }
+
+
+class TestStage1Training:
+    def test_loss_finite_and_decreases(self):
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        state = init_train_state(params, TCFG)
+        step = make_train_step(loss_fn, TCFG)
+        batch = stage1_batch()
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        # same batch + same rng -> same noise -> loss must go down
+        assert losses[-1] < losses[0]
+
+    def test_grad_norm_reported(self):
+        loss_fn = stage1_loss_fn(PRIOR_CFG)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        state = init_train_state(params, TCFG)
+        step = make_train_step(loss_fn, TCFG)
+        _, metrics = step(state, stage1_batch(), jax.random.PRNGKey(1))
+        assert float(metrics["grad_norm"]) > 0
+
+
+def stage2_batch(b=2, h=64, w=128):
+    rng = np.random.default_rng(0)
+    return {
+        "st_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32),
+        "masked_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32),
+        "pose_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32),
+        "dino_features": rng.normal(size=(b, 5, 24)).astype(np.float32),
+        "clip_embed": rng.normal(size=(b, 1, 16)).astype(np.float32),
+    }
+
+
+def stage2_params():
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    return {
+        "unet": unet_init(ks[0], UNET_CFG),
+        "image_proj": image_proj_mlp_init(ks[1], 24, 16, 16),
+        "pose_proj": pose_cond_embedding_init(
+            ks[2], out_channels=8, block_out_channels=(4, 4, 4, 4)),
+    }, vae_init(ks[3], VAE_CFG)
+
+
+class TestStage2Training:
+    def test_loss_step(self):
+        params, vae = stage2_params()
+        loss_fn = stage2_loss_fn(UNET_CFG, vae, vae_cfg=VAE_CFG,
+                                 compute_dtype=jnp.float32)
+        state = init_train_state(params, TCFG)
+        step = make_train_step(loss_fn, TCFG)
+        state, metrics = step(state, stage2_batch(), jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state["step"]) == 1
+
+    def test_vae_not_in_grads(self):
+        """The frozen VAE is not part of the trainable tree at all."""
+        params, vae = stage2_params()
+        assert "vae" not in params
+
+
+class TestStage3Training:
+    def test_loss_step(self):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        params = {"unet": unet_init(ks[0], UNET3_CFG),
+                  "image_proj": image_proj_mlp_init(ks[1], 24, 16, 16)}
+        vae = vae_init(ks[2], VAE_CFG)
+        loss_fn = stage3_loss_fn(UNET3_CFG, vae, vae_cfg=VAE_CFG,
+                                 compute_dtype=jnp.float32)
+        state = init_train_state(params, TCFG)
+        step = make_train_step(loss_fn, TCFG)
+        rng = np.random.default_rng(1)
+        batch = {
+            "target_image": rng.uniform(-1, 1, (2, 64, 64, 3)).astype(
+                np.float32),
+            "gen_image": rng.uniform(-1, 1, (2, 64, 64, 3)).astype(
+                np.float32),
+            "dino_features": rng.normal(size=(2, 5, 24)).astype(np.float32),
+        }
+        _, metrics = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardedStep:
+    def test_dp_step_on_8_device_mesh(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        loss_fn = stage1_loss_fn(PRIOR_CFG)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        cfg = TrainConfig(zero1=True, lr_warmup_steps=1)
+        state = init_train_state(params, cfg)
+        step = make_train_step(loss_fn, cfg, mesh=mesh)
+        batch = shard_batch(stage1_batch(b=8), mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_matches_single_device(self):
+        """DP over the mesh must produce the same loss/update as one
+        device (determinism of the SPMD program)."""
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        batch = stage1_batch(b=8)
+        rng = jax.random.PRNGKey(5)
+
+        cfg = TrainConfig(lr_warmup_steps=1)
+        # donate_argnums on the step donates state buffers: each state
+        # needs its own copy of the initial params
+        s1 = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f1 = make_train_step(loss_fn, cfg)
+        s1, m1 = f1(s1, batch, rng)
+
+        mesh = make_mesh()
+        s2 = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f2 = make_train_step(loss_fn, cfg, mesh=mesh)
+        s2, m2 = f2(s2, shard_batch(batch, mesh), rng)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+        leaves1 = jax.tree.leaves(s1["params"])
+        leaves2 = jax.tree.leaves(s2["params"])
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_zero1_shardings_rules(self):
+        mesh = make_mesh()
+        tree = {
+            "big": jnp.zeros((1024, 64)),      # 64k -> sharded on dim 0
+            "small": jnp.zeros((4, 4)),        # tiny -> replicated
+            "odd": jnp.zeros((33333, 1)),      # indivisible -> replicated
+        }
+        shardings = zero1_shardings(tree, mesh)
+        assert shardings["big"].spec[0] == "data"
+
+        assert shardings["small"].spec == jax.sharding.PartitionSpec()
+        assert shardings["odd"].spec == jax.sharding.PartitionSpec()
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from pcdms_tpu.train import checkpoint as ckpt
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        state = init_train_state(params, TCFG)
+        ckpt.save_checkpoint(str(tmp_path / "ck"), 42, state, epoch=3)
+        assert ckpt.latest_step(str(tmp_path / "ck")) == 42
+        restored, epoch, step = ckpt.restore_checkpoint(
+            str(tmp_path / "ck"), state)
+        assert epoch == 3 and step == 42
+        a = jax.tree.leaves(state["params"])
+        b = jax.tree.leaves(restored["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_latest_step_empty_dir(self, tmp_path):
+        from pcdms_tpu.train import checkpoint as ckpt
+        assert ckpt.latest_step(str(tmp_path / "missing")) is None
+
+
+class TestGradAccumulation:
+    def test_multisteps_updates_every_k(self):
+        cfg = TrainConfig(gradient_accumulation_steps=2,
+                          lr_scheduler="constant")
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        state = init_train_state(params, cfg)
+        step = make_train_step(loss_fn, cfg)
+        p0 = jax.tree.leaves(state["params"])[0].copy()
+        state, _ = step(state, stage1_batch(), jax.random.PRNGKey(1))
+        p1 = jax.tree.leaves(state["params"])[0]
+        # first micro-step: no update yet
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        state, _ = step(state, stage1_batch(), jax.random.PRNGKey(2))
+        p2 = jax.tree.leaves(state["params"])[0]
+        assert not np.array_equal(np.asarray(p0), np.asarray(p2))
