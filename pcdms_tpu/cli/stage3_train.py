@@ -110,7 +110,12 @@ def main(argv=None):
                  checkpointing_steps=args.checkpointing_steps,
                  log_every=args.log_every,
                  resume_from_checkpoint=args.resume_from_checkpoint,
-                 profile_dir=args.profile_dir)
+                 profile_dir=args.profile_dir,
+                 tensorboard_writer=(
+                     __import__("pcdms_tpu.train.loop",
+                                fromlist=["make_tensorboard_writer"])
+                     .make_tensorboard_writer(args.output_dir + "/logs")
+                     if args.report_to == "tensorboard" else None))
 
 
 if __name__ == "__main__":

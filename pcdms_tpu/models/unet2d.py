@@ -53,6 +53,11 @@ class UNetConfig:
     # rematerialize each down/mid/up block under grad (the reference's
     # enable_gradient_checkpointing; XLA recomputes activations in bwd)
     remat: bool = False
+    # FreeU (s1, s2, b1, b2) applied to the first two up blocks
+    # (PCDMs_pipeline.py enable_freeu equivalent); None = disabled
+    freeu: Optional[Tuple[float, float, float, float]] = None
+    # LCM-style guidance-scale conditioning projection dim (None = off)
+    time_cond_proj_dim: Optional[int] = None
 
     @property
     def cross_attn_up(self):
@@ -79,8 +84,9 @@ def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
     keys = jax.random.split(key, 6 + 2 * n_down)
 
     params = {
-        "time_embedding": timestep_embedding_init(keys[0], ch0, temb_dim,
-                                                  dtype=dtype),
+        "time_embedding": timestep_embedding_init(
+            keys[0], ch0, temb_dim, cond_proj_dim=cfg.time_cond_proj_dim,
+            dtype=dtype),
         "conv_in": conv2d_init(keys[1], cfg.in_channels, ch0, 3, dtype=dtype),
         "conv_norm_out": group_norm_init(ch0, dtype),
         "conv_out": conv2d_init(keys[2], ch0, cfg.out_channels, 3, dtype=dtype),
@@ -126,7 +132,8 @@ def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
 
 
 def unet_apply(params, cfg: UNetConfig, sample, timesteps,
-               encoder_hidden_states, class_labels=None, pose_cond=None):
+               encoder_hidden_states, class_labels=None, pose_cond=None,
+               timestep_cond=None):
     """Predict noise (or v).
 
     sample: (B, H, W, in_channels) latents, NHWC.
@@ -141,7 +148,8 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
     ch0 = cfg.block_out_channels[0]
 
     t_emb = timestep_sinusoidal_embedding(timesteps, ch0).astype(dtype)
-    emb = timestep_embedding_apply(params["time_embedding"], t_emb)
+    emb = timestep_embedding_apply(params["time_embedding"], t_emb,
+                                   condition=timestep_cond)
     if "class_embedding" in params:
         if class_labels is None:
             raise ValueError("this UNet requires class_labels")
@@ -166,11 +174,11 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
                                use_flash=cfg.use_flash,
                                num_groups=cfg.norm_groups)
 
-    def up_fn(block, x, block_skips, emb, ctx):
+    def up_fn(block, x, block_skips, emb, ctx, freeu=None):
         return up_block_apply(block, x, block_skips, emb, ctx,
                               head_dim=cfg.head_dim,
                               use_flash=cfg.use_flash,
-                              num_groups=cfg.norm_groups)
+                              num_groups=cfg.norm_groups, freeu=freeu)
 
     if cfg.remat:
         down_fn = jax.checkpoint(down_fn)
@@ -184,11 +192,15 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
 
     x = mid_fn(params["mid_block"], x, emb, ctx)
 
-    for block in params["up_blocks"]:
+    for bi, block in enumerate(params["up_blocks"]):
         n = len(block["resnets"])
         block_skips = skips[-n:]
         del skips[-n:]
-        x = up_fn(block, x, block_skips, emb, ctx)
+        freeu = None
+        if cfg.freeu is not None and bi < 2:
+            s1, s2, b1, b2 = cfg.freeu
+            freeu = (s1, b1) if bi == 0 else (s2, b2)
+        x = up_fn(block, x, block_skips, emb, ctx, freeu)
 
     x = silu(group_norm_apply(params["conv_norm_out"], x,
                           cfg.norm_groups, 1e-5))

@@ -184,21 +184,39 @@ def timestep_sinusoidal_embedding(timesteps, dim: int,
 
 
 def timestep_embedding_init(key, in_dim: int, time_embed_dim: int,
-                            out_dim: Optional[int] = None, dtype=jnp.float32):
-    """diffusers ``TimestepEmbedding``: linear -> SiLU -> linear."""
-    k1, k2 = jax.random.split(key)
-    return {
+                            out_dim: Optional[int] = None,
+                            cond_proj_dim: Optional[int] = None,
+                            dtype=jnp.float32):
+    """diffusers ``TimestepEmbedding``: linear -> SiLU -> linear.
+    cond_proj_dim adds the LCM-style conditioning projection (a bias-free
+    linear whose output is added to the input features before linear_1)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
         "linear_1": linear_init(k1, in_dim, time_embed_dim, dtype=dtype),
         "linear_2": linear_init(k2, time_embed_dim, out_dim or time_embed_dim,
                                 dtype=dtype),
     }
+    if cond_proj_dim is not None:
+        params["cond_proj"] = linear_init(k3, cond_proj_dim, in_dim,
+                                          use_bias=False, dtype=dtype)
+    return params
 
 
-def timestep_embedding_apply(params, x):
+def timestep_embedding_apply(params, x, condition=None):
+    if condition is not None and "cond_proj" in params:
+        x = x + linear_apply(params["cond_proj"], condition)
     x = linear_apply(params["linear_1"], x)
     x = silu(x)
     x = linear_apply(params["linear_2"], x)
     return x
+
+
+def guidance_scale_embedding(w, embedding_dim: int):
+    """LCM guidance-scale embedding (PCDMs_pipeline.py:832-859 semantics):
+    sinusoidal features of (w - 1) * 1000. w: (B,) floats."""
+    return timestep_sinusoidal_embedding(
+        (w - 1.0) * 1000.0, embedding_dim, flip_sin_to_cos=False,
+        downscale_freq_shift=1.0)
 
 
 # ---------------------------------------------------------------------------

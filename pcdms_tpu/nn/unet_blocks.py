@@ -205,11 +205,35 @@ def up_block_init(key, in_ch: int, prev_ch: int, out_ch: int, temb_dim: int,
     return params
 
 
+def fourier_filter(x, threshold: int = 1, scale: float = 1.0):
+    """FreeU low-frequency rescaling of skip features (NHWC): scale the
+    centered ``2*threshold``-wide frequency box by ``scale``
+    (/root/reference/src/pipelines/PCDMs_pipeline.py:744-769 semantics)."""
+    dtype = x.dtype
+    b, h, w, c = x.shape
+    x_freq = jnp.fft.fftshift(jnp.fft.fftn(x.astype(jnp.float32),
+                                           axes=(1, 2)), axes=(1, 2))
+    mask = jnp.ones((1, h, w, 1), jnp.float32)
+    ch, cw = h // 2, w // 2
+    mask = mask.at[:, ch - threshold:ch + threshold,
+                   cw - threshold:cw + threshold, :].set(scale)
+    x_filtered = jnp.fft.ifftn(jnp.fft.ifftshift(x_freq * mask,
+                                                 axes=(1, 2)),
+                               axes=(1, 2)).real
+    return x_filtered.astype(dtype)
+
+
 def up_block_apply(params, x, skips, temb, context, *, head_dim: int,
-                   use_flash: bool = True, num_groups: int = 32):
+                   use_flash: bool = True, num_groups: int = 32,
+                   freeu=None):
     attns = params.get("attentions")
     for i, resnet in enumerate(params["resnets"]):
         skip = skips.pop()
+        if freeu is not None:
+            s, b = freeu
+            half = x.shape[-1] // 2
+            x = jnp.concatenate([x[..., :half] * b, x[..., half:]], axis=-1)
+            skip = fourier_filter(skip, threshold=1, scale=s)
         x = jnp.concatenate([x, skip], axis=-1)
         x = resnet_block_apply(resnet, x, temb, num_groups=num_groups)
         if attns is not None:

@@ -1,0 +1,115 @@
+"""Auxiliary condition processors (controlnet-aux ``Processor`` facade).
+
+The reference vendors controlnet-aux 0.0.6 (25 detector types,
+/root/reference/src/controlnet_aux/processor.py:33-60), of which PCDMs
+itself only uses DWPose. This module provides the same facade surface:
+
+  * non-NN detectors implemented natively: canny, shuffle (content
+    shuffle), scribble/threshold utilities, resize
+  * ``dwpose`` routed to pcdms_tpu.pose.dwpose (ONNX host path)
+  * NN detectors that need pretrained torch weights (hed, midas/depth,
+    zoe, normalbae, lineart, mlsd, pidi, sam, mediapipe_face) raise a
+    clear NotImplementedError naming the weight dependency — this image
+    has no network egress, and PCDMs' pipelines never call them.
+
+API parity: Processor(processor_id)(image, to_pil=True).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+_NN_DETECTORS = (
+    "hed", "hed_safe", "midas", "depth_midas", "depth_zoe", "depth_leres",
+    "depth_leres++", "normal_bae", "normal_midas", "lineart_anime",
+    "lineart_coarse", "lineart_realistic", "mlsd", "openpose",
+    "openpose_face", "openpose_faceonly", "openpose_full", "openpose_hand",
+    "scribble_hed", "scribble_pidinet", "softedge_hed", "softedge_hedsafe",
+    "softedge_pidinet", "softedge_pidsafe", "mediapipe_face", "sam",
+)
+
+
+def _to_np(img) -> np.ndarray:
+    if isinstance(img, Image.Image):
+        return np.asarray(img.convert("RGB"))
+    return np.asarray(img)
+
+
+def canny(img, low_threshold: int = 100, high_threshold: int = 200):
+    import cv2
+    arr = _to_np(img)
+    edges = cv2.Canny(arr, low_threshold, high_threshold)
+    return np.stack([edges] * 3, axis=-1)
+
+
+def shuffle(img, seed: int = 0, grid: int = 8):
+    """Content shuffle: coarse flow-field warp destroying layout while
+    keeping color statistics (controlnet-aux ShuffleDetector equivalent)."""
+    import cv2
+    arr = _to_np(img)
+    h, w = arr.shape[:2]
+    rng = np.random.default_rng(seed)
+    flow = rng.normal(size=(grid, grid, 2)).astype(np.float32)
+    flow = cv2.resize(flow, (w, h), interpolation=cv2.INTER_CUBIC)
+    flow *= np.array([w, h], np.float32) / grid
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    map_x = np.clip(xs + flow[..., 0], 0, w - 1)
+    map_y = np.clip(ys + flow[..., 1], 0, h - 1)
+    return cv2.remap(arr, map_x, map_y, cv2.INTER_LINEAR)
+
+
+def scribble_from_edges(img, low_threshold: int = 100,
+                        high_threshold: int = 200, dilate: int = 2):
+    """Binary scribble map from canny edges (threshold-based stand-in)."""
+    import cv2
+    edges = canny(img, low_threshold, high_threshold)[..., 0]
+    if dilate > 0:
+        kernel = np.ones((dilate * 2 + 1,) * 2, np.uint8)
+        edges = cv2.dilate(edges, kernel)
+    return np.stack([edges] * 3, axis=-1)
+
+
+class Processor:
+    """controlnet-aux ``Processor``-compatible facade."""
+
+    def __init__(self, processor_id: str, params: Optional[Dict] = None):
+        self.processor_id = processor_id
+        self.params = params or {}
+        self._fn = self._resolve(processor_id)
+
+    def _resolve(self, pid: str) -> Callable:
+        if pid == "canny":
+            return canny
+        if pid == "shuffle":
+            return shuffle
+        if pid == "scribble":
+            return scribble_from_edges
+        if pid in ("dwpose", "dwpose_body"):
+            from pcdms_tpu.pose.dwpose import DWposeDetector
+            det = DWposeDetector(self.params["det_onnx"],
+                                 self.params["pose_onnx"])
+
+            def run(img):
+                render, _, _ = det(_to_np(img))
+                return render
+            return run
+        if pid in ("none", "resize"):
+            return _to_np
+        if pid in _NN_DETECTORS:
+            raise NotImplementedError(
+                f"processor '{pid}' needs pretrained torch weights that are "
+                "not available in this offline environment; PCDMs' own "
+                "pipelines only use 'dwpose' (host-side). Supply weights "
+                "and extend pcdms_tpu/pose/processors.py to enable it.")
+        raise ValueError(f"unknown processor: {pid}")
+
+    def __call__(self, image, to_pil: bool = True):
+        out = self._fn(image, **{k: v for k, v in self.params.items()
+                                 if k not in ("det_onnx", "pose_onnx")})
+        if to_pil and isinstance(out, np.ndarray):
+            return Image.fromarray(out.astype(np.uint8))
+        return out

@@ -89,3 +89,15 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
     if output_dir:
         ckpt.save_checkpoint(output_dir, step, state)
     return state
+
+
+def make_tensorboard_writer(logging_dir: str):
+    """TensorBoard writer (the reference's ``--report_to=tensorboard``,
+    stage1_train_prior_model.py:218-221). Returns None if tensorboard
+    isn't importable."""
+    try:
+        from flax.metrics import tensorboard
+    except ImportError:
+        logger.warning("tensorboard unavailable; metrics log to stdout only")
+        return None
+    return tensorboard.SummaryWriter(logging_dir)
