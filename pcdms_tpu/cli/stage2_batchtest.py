@@ -37,6 +37,8 @@ def parse_args(argv=None):
                    help="monolithic stage-2 checkpoint (.pt)")
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
     p.add_argument("--image_encoder_p_path", type=str, default=None)
+    p.add_argument("--image_encoder_g_path", type=str, default=None,
+                   help="CLIP ViT-H dir (train-mode GT conditioning)")
     p.add_argument("--prior_embeds_dir", type=str, default=None,
                    help="stage-1 .npy output dir (test mode)")
     p.add_argument("--img_width", type=int, default=512)
@@ -110,8 +112,17 @@ def main(argv=None):
     train_mode = os.path.basename(args.json_path).startswith("train")
     size = (args.img_width, args.img_height)
 
+    clip_params = None
     if train_mode:
-        from pcdms_tpu.models.vit import clip_vit_h14_config
+        # oracle-conditioned upper bound: GT target CLIP embeddings
+        # (stage2_batchtest_inpaint_model.py:176-185)
+        from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
+        clip_cfg = clip_vit_h14_config()
+        if args.random_init:
+            clip_params = vit_init(jax.random.PRNGKey(args.seed), clip_cfg)
+        else:
+            from pcdms_tpu.compat.load import load_clip_vision
+            clip_params = load_clip_vision(args.image_encoder_g_path)
         logger.info("train-mode conditioning: GT CLIP embeddings")
 
     t0 = time.time()
@@ -138,6 +149,11 @@ def main(argv=None):
 
         if args.simple_variant:
             embeds = None
+        elif train_mode:
+            from pcdms_tpu.train.encoders import clip_image_embed
+            t_pix = np.stack([clip_preprocess(t) for t in t_imgs])
+            embeds = clip_image_embed(clip_params, jnp.asarray(t_pix),
+                                      cfg=clip_cfg)[:, None, :]
         elif args.prior_embeds_dir:
             embeds = []
             for item in chunk:

