@@ -37,6 +37,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     width = 2 * height                     # [source | target] canvas
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -58,7 +59,7 @@ def main():
         return stage2_generate(
             params, vae_image, st_pose, dino, t_embed,
             jax.random.PRNGKey(seed), unet_cfg=unet_cfg, num_steps=steps,
-            guidance_scale=2.0, scheduler="ddim")
+            guidance_scale=2.0, scheduler="ddim", unroll=unroll)
 
     # Reduce on device and read ONE scalar back: under the remote-TPU
     # tunnel block_until_ready() does not actually block, and transferring

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--grid_output", action="store_true",
+                   help="also save [source | gen | refined | GT] grids "
+                        "(stage3_batchtest_refined_model.py:190-209)")
     return p.parse_args(argv)
 
 
@@ -116,6 +119,14 @@ def main(argv=None):
             t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
             save_images(cands[best:best + 1],
                         [os.path.join(args.save_path, f"{s}_to_{t}.png")])
+            if args.grid_output:
+                src_img = to_neg1_1(load_image(
+                    pairs.image_path(item["source_image"]), size))
+                grid = np.concatenate(
+                    [src_img, gen_imgs[i], cands[best], gt_imgs[i]], axis=1)
+                save_images(grid[None],
+                            [os.path.join(args.save_path,
+                                          f"grid_{s}_to_{t}.png")])
         logger.info("processed %d/%d", min(start + bs, len(items)),
                     len(items))
 

@@ -149,7 +149,7 @@ def _corrector(last_x, m0, m1, m_t, h, r0, sigma_ratio, alpha_t, order2):
 
 def unipc_sample(schedule: NoiseSchedule, model_x0_fn: Callable,
                  x_init, num_inference_steps: int,
-                 spacing: str = "linspace"):
+                 spacing: str = "linspace", unroll: int = 1):
     """Run the full UniPC sampling loop under one scan.
 
     model_x0_fn(x, t) -> x0 prediction at integer timestep t (the caller
@@ -177,5 +177,5 @@ def unipc_sample(schedule: NoiseSchedule, model_x0_fn: Callable,
     per_step = (co.timesteps, co.p_h, co.p_r0, co.p_sigma_ratio, co.p_alpha,
                 co.p_order2, co.c_h, co.c_r0, co.c_sigma_ratio, co.c_alpha,
                 co.c_order2, co.c_enabled)
-    (x, _, _, _), _ = jax.lax.scan(step, init, per_step)
+    (x, _, _, _), _ = jax.lax.scan(step, init, per_step, unroll=unroll)
     return x

@@ -20,7 +20,7 @@ from pcdms_tpu.diffusion.unipc import unipc_sample
 
 
 def ddim_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
-                     x_init, num_steps: int):
+                     x_init, num_steps: int, unroll: int = 1):
     """Deterministic DDIM (eta=0). model_eps_fn(x, t) -> epsilon."""
     ts, cx0, ceps = ddim_step_tables(schedule, num_steps)
     sa = jnp.asarray(schedule.sqrt_alphas_cumprod[np.asarray(ts)])
@@ -32,12 +32,13 @@ def ddim_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
         x0 = (x - s_t * eps) / a_t
         return a_prev * x0 + e_prev * eps, None
 
-    x, _ = jax.lax.scan(step, x_init, (ts, cx0, ceps, sa, ssg))
+    x, _ = jax.lax.scan(step, x_init, (ts, cx0, ceps, sa, ssg),
+                        unroll=unroll)
     return x
 
 
 def unipc_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
-                      x_init, num_steps: int):
+                      x_init, num_steps: int, unroll: int = 1):
     """UniPC order-2 predictor-corrector over an epsilon-prediction model."""
     ac = jnp.asarray(schedule.alphas_cumprod)
 
@@ -47,7 +48,8 @@ def unipc_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
         eps = model_eps_fn(x, t)
         return (x - s * eps) / a
 
-    return unipc_sample(schedule, model_x0, x_init, num_steps)
+    return unipc_sample(schedule, model_x0, x_init, num_steps,
+                        unroll=unroll)
 
 
 SAMPLERS = {"ddim": ddim_sample_loop, "unipc": unipc_sample_loop}

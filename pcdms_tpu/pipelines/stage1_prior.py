@@ -30,7 +30,7 @@ from pcdms_tpu.utils.tree import cast_pytree
     static_argnames=("prior_cfg", "num_steps", "guidance_scale",
                      "compute_dtype"),
 )
-def stage1_generate(params, s_embed, s_pose, t_pose, rng, *,
+def stage1_generate(params, s_embed, s_pose, t_pose, rng, latents=None, *,
                     prior_cfg: PriorConfig = PriorConfig(),
                     num_steps: int = 20,
                     guidance_scale: float = 0.0,
@@ -56,7 +56,10 @@ def stage1_generate(params, s_embed, s_pose, t_pose, rng, *,
         proj = s_embed
 
     rng, rng_init = jax.random.split(rng)
-    x_init = jax.random.normal(rng_init, (b, e), jnp.float32)
+    if latents is not None:
+        x_init = latents.astype(jnp.float32)
+    else:
+        x_init = jax.random.normal(rng_init, (b, e), jnp.float32)
     step_rngs = jax.random.split(rng, num_steps)
 
     def step(x, per):

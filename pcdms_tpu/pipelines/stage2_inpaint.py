@@ -53,10 +53,10 @@ def build_half_mask(batch: int, latent_h: int, latent_w: int, dtype):
     static_argnames=("unet_cfg", "vae_cfg", "num_steps",
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
-                     "decode"),
+                     "decode", "unroll"),
 )
 def stage2_generate(params, vae_image, st_pose, dino_features,
-                    pred_t_embed, rng, *,
+                    pred_t_embed, rng, latents=None, *,
                     unet_cfg: UNetConfig,
                     vae_cfg: VAEConfig = VAEConfig(),
                     num_steps: int = 20,
@@ -65,7 +65,8 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
                     scheduler: str = "unipc",
                     num_samples: int = 1,
                     compute_dtype=jnp.bfloat16,
-                    decode: bool = True):
+                    decode: bool = True,
+                    unroll: int = 1):
     """Generate target-pose images.
 
     params: {"unet", "image_proj", "pose_proj", "vae"} param pytrees.
@@ -147,8 +148,15 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
             eps = apply_cfg(eps, guidance_scale, guidance_rescale)
         return eps
 
-    x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
-    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps)
+    if latents is not None:
+        # explicit initial noise (reference pipelines' `latents` argument;
+        # needed for pixel-parity tests where torch Generator noise is
+        # injected rather than matched by seed — SURVEY.md §7.3)
+        x_init = latents.astype(jnp.float32)
+    else:
+        x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
+    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps,
+                                  unroll)
 
     if not decode:
         return latents

@@ -28,9 +28,9 @@ from pcdms_tpu.utils.tree import cast_pytree
     static_argnames=("unet_cfg", "vae_cfg", "num_steps",
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
-                     "decode"),
+                     "decode", "unroll"),
 )
-def stage3_generate(params, gen_image, dino_features, rng, *,
+def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     unet_cfg: UNetConfig,
                     vae_cfg: VAEConfig = VAEConfig(),
                     num_steps: int = 20,
@@ -39,7 +39,8 @@ def stage3_generate(params, gen_image, dino_features, rng, *,
                     scheduler: str = "unipc",
                     num_samples: int = 1,
                     compute_dtype=jnp.bfloat16,
-                    decode: bool = True):
+                    decode: bool = True,
+                    unroll: int = 1):
     """Refine stage-2 outputs.
 
     params: {"unet", "image_proj", "vae"}.
@@ -86,8 +87,12 @@ def stage3_generate(params, gen_image, dino_features, rng, *,
             eps = apply_cfg(eps, guidance_scale, guidance_rescale)
         return eps
 
-    x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
-    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps)
+    if latents is not None:
+        x_init = latents.astype(jnp.float32)
+    else:
+        x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
+    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps,
+                                  unroll)
 
     if not decode:
         return latents
