@@ -37,7 +37,7 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     width = 2 * height                     # [source | target] canvas
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    unroll = int(os.environ.get("BENCH_UNROLL", "2"))
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)

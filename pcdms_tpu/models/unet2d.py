@@ -58,6 +58,8 @@ class UNetConfig:
     freeu: Optional[Tuple[float, float, float, float]] = None
     # LCM-style guidance-scale conditioning projection dim (None = off)
     time_cond_proj_dim: Optional[int] = None
+    # fuse GN+SiLU+conv3x3 resnet convs into one Pallas kernel (TPU)
+    fused_conv: bool = False
 
     @property
     def cross_attn_up(self):
@@ -133,7 +135,7 @@ def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
 
 def unet_apply(params, cfg: UNetConfig, sample, timesteps,
                encoder_hidden_states, class_labels=None, pose_cond=None,
-               timestep_cond=None):
+               timestep_cond=None, zero_ctx_prefix: int = 0):
     """Predict noise (or v).
 
     sample: (B, H, W, in_channels) latents, NHWC.
@@ -143,6 +145,9 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
         CLIP embedding, projected and added to the time embedding.
     pose_cond: (B, H, W, ch0) — added to the conv_in output (the reference's
         ``my_pose_cond`` ControlNet-style injection).
+    zero_ctx_prefix: first N batch items have an all-zero
+        encoder_hidden_states (CFG uncond half) — their cross-attention
+        is computed analytically (see nn/transformer.py).
     """
     dtype = sample.dtype
     ch0 = cfg.block_out_channels[0]
@@ -167,18 +172,24 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
     def down_fn(block, x, emb, ctx):
         return down_block_apply(block, x, emb, ctx, head_dim=cfg.head_dim,
                                 use_flash=cfg.use_flash,
-                                num_groups=cfg.norm_groups)
+                                num_groups=cfg.norm_groups,
+                                fused_conv=cfg.fused_conv,
+                                zero_ctx_prefix=zero_ctx_prefix)
 
     def mid_fn(block, x, emb, ctx):
         return mid_block_apply(block, x, emb, ctx, head_dim=cfg.head_dim,
                                use_flash=cfg.use_flash,
-                               num_groups=cfg.norm_groups)
+                               num_groups=cfg.norm_groups,
+                               fused_conv=cfg.fused_conv,
+                               zero_ctx_prefix=zero_ctx_prefix)
 
     def up_fn(block, x, block_skips, emb, ctx, freeu=None):
         return up_block_apply(block, x, block_skips, emb, ctx,
                               head_dim=cfg.head_dim,
                               use_flash=cfg.use_flash,
-                              num_groups=cfg.norm_groups, freeu=freeu)
+                              num_groups=cfg.norm_groups, freeu=freeu,
+                              fused_conv=cfg.fused_conv,
+                              zero_ctx_prefix=zero_ctx_prefix)
 
     if cfg.remat:
         down_fn = jax.checkpoint(down_fn)

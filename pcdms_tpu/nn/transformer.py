@@ -127,14 +127,36 @@ def transformer_block_init(key, dim: int, heads: int, head_dim: int,
 
 
 def transformer_block_apply(params, x, context=None, *, heads: int,
-                            use_flash: bool = True):
+                            use_flash: bool = True,
+                            zero_ctx_prefix: int = 0):
+    """zero_ctx_prefix: the first N batch items are known to carry an
+    all-zero cross-attention context (the CFG unconditional half). With
+    bias-free k/v projections, attention over a zero context is exactly
+    the to_out bias — softmax is uniform and every v row is 0 — so the
+    cross-attention compute is skipped for those items."""
     h = layer_norm_apply(params["norm1"], x)
     x = x + attention_apply(params["attn1"], h, heads=heads,
                             use_flash=use_flash)
     if "attn2" in params:
         h = layer_norm_apply(params["norm2"], x)
-        x = x + attention_apply(params["attn2"], h, context, heads=heads,
-                                use_flash=use_flash)
+        attn2 = params["attn2"]
+        shortcut = (zero_ctx_prefix > 0 and context is not None
+                    and "bias" not in attn2["to_k"]
+                    and "bias" not in attn2["to_v"])
+        if shortcut:
+            u = zero_ctx_prefix
+            cond = attention_apply(attn2, h[u:], context[u:], heads=heads,
+                                   use_flash=use_flash)
+            bias = attn2["to_out"].get("bias")
+            if bias is None:
+                uncond = jnp.zeros((u,) + x.shape[1:], x.dtype)
+            else:
+                uncond = jnp.broadcast_to(bias.astype(x.dtype),
+                                          (u,) + x.shape[1:])
+            x = x + jnp.concatenate([uncond, cond], axis=0)
+        else:
+            x = x + attention_apply(attn2, h, context, heads=heads,
+                                    use_flash=use_flash)
     h = layer_norm_apply(params["norm3"], x)
     x = x + feed_forward_apply(params["ff"], h)
     return x

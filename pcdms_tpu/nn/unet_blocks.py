@@ -23,6 +23,7 @@ from pcdms_tpu.nn.layers import (
 from pcdms_tpu.nn.transformer import (
     transformer_block_apply, transformer_block_init,
 )
+from pcdms_tpu.ops.fused_conv import gn_silu_conv3x3
 
 PAD1 = [(1, 1), (1, 1)]
 
@@ -48,7 +49,24 @@ def resnet_block_init(key, in_ch: int, out_ch: int,
 
 
 def resnet_block_apply(params, x, temb=None, *, num_groups: int = 32,
-                       eps: float = 1e-5):
+                       eps: float = 1e-5, fused: bool = False):
+    if fused:
+        # one Pallas kernel per conv: GN+SiLU+conv3x3 (+temb / +residual)
+        t = None
+        if temb is not None and "time_emb_proj" in params:
+            t = linear_apply(params["time_emb_proj"], silu(temb))
+        h = gn_silu_conv3x3(
+            x, params["norm1"]["scale"], params["norm1"]["bias"],
+            params["conv1"]["kernel"], params["conv1"]["bias"],
+            num_groups=num_groups, eps=eps, temb=t)
+        shortcut = x
+        if "conv_shortcut" in params:
+            shortcut = conv2d_apply(params["conv_shortcut"], x,
+                                    padding="VALID")
+        return gn_silu_conv3x3(
+            h, params["norm2"]["scale"], params["norm2"]["bias"],
+            params["conv2"]["kernel"], params["conv2"]["bias"],
+            num_groups=num_groups, eps=eps, residual=shortcut)
     h = silu(group_norm_apply(params["norm1"], x, num_groups, eps))
     h = conv2d_apply(params["conv1"], h, padding=PAD1)
     if temb is not None and "time_emb_proj" in params:
@@ -82,7 +100,8 @@ def transformer2d_init(key, ch: int, heads: int, head_dim: int,
 
 
 def transformer2d_apply(params, x, context, *, heads: int,
-                        use_flash: bool = True, num_groups: int = 32):
+                        use_flash: bool = True, num_groups: int = 32,
+                        zero_ctx_prefix: int = 0):
     b, h, w, c = x.shape
     residual = x
     tokens = x.reshape(b, h * w, c)
@@ -91,7 +110,8 @@ def transformer2d_apply(params, x, context, *, heads: int,
     tokens = linear_apply(params["proj_in"], tokens)
     for block in params["blocks"]:
         tokens = transformer_block_apply(block, tokens, context, heads=heads,
-                                         use_flash=use_flash)
+                                         use_flash=use_flash,
+                                         zero_ctx_prefix=zero_ctx_prefix)
     tokens = linear_apply(params["proj_out"], tokens)
     return tokens.reshape(b, h, w, c) + residual
 
@@ -142,16 +162,19 @@ def down_block_init(key, in_ch: int, out_ch: int, temb_dim: int,
 
 
 def down_block_apply(params, x, temb, context, *, head_dim: int,
-                     use_flash: bool = True, num_groups: int = 32):
+                     use_flash: bool = True, num_groups: int = 32,
+                     fused_conv: bool = False, zero_ctx_prefix: int = 0):
     skips = []
     attns = params.get("attentions")
     for i, resnet in enumerate(params["resnets"]):
-        x = resnet_block_apply(resnet, x, temb, num_groups=num_groups)
+        x = resnet_block_apply(resnet, x, temb, num_groups=num_groups,
+                               fused=fused_conv)
         if attns is not None:
             heads = x.shape[-1] // head_dim
             x = transformer2d_apply(attns[i], x, context, heads=heads,
                                     use_flash=use_flash,
-                                    num_groups=num_groups)
+                                    num_groups=num_groups,
+                                    zero_ctx_prefix=zero_ctx_prefix)
         skips.append(x)
     if "downsampler" in params:
         x = downsample_apply(params["downsampler"], x)
@@ -171,12 +194,16 @@ def mid_block_init(key, ch: int, temb_dim: int, *, context_dim: int,
 
 
 def mid_block_apply(params, x, temb, context, *, head_dim: int,
-                    use_flash: bool = True, num_groups: int = 32):
-    x = resnet_block_apply(params["resnet1"], x, temb, num_groups=num_groups)
+                    use_flash: bool = True, num_groups: int = 32,
+                    fused_conv: bool = False, zero_ctx_prefix: int = 0):
+    x = resnet_block_apply(params["resnet1"], x, temb, num_groups=num_groups,
+                           fused=fused_conv)
     heads = x.shape[-1] // head_dim
     x = transformer2d_apply(params["attention"], x, context, heads=heads,
-                            use_flash=use_flash, num_groups=num_groups)
-    x = resnet_block_apply(params["resnet2"], x, temb, num_groups=num_groups)
+                            use_flash=use_flash, num_groups=num_groups,
+                            zero_ctx_prefix=zero_ctx_prefix)
+    x = resnet_block_apply(params["resnet2"], x, temb, num_groups=num_groups,
+                           fused=fused_conv)
     return x
 
 
@@ -225,7 +252,8 @@ def fourier_filter(x, threshold: int = 1, scale: float = 1.0):
 
 def up_block_apply(params, x, skips, temb, context, *, head_dim: int,
                    use_flash: bool = True, num_groups: int = 32,
-                   freeu=None):
+                   freeu=None, fused_conv: bool = False,
+                   zero_ctx_prefix: int = 0):
     attns = params.get("attentions")
     for i, resnet in enumerate(params["resnets"]):
         skip = skips.pop()
@@ -235,12 +263,14 @@ def up_block_apply(params, x, skips, temb, context, *, head_dim: int,
             x = jnp.concatenate([x[..., :half] * b, x[..., half:]], axis=-1)
             skip = fourier_filter(skip, threshold=1, scale=s)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = resnet_block_apply(resnet, x, temb, num_groups=num_groups)
+        x = resnet_block_apply(resnet, x, temb, num_groups=num_groups,
+                               fused=fused_conv)
         if attns is not None:
             heads = x.shape[-1] // head_dim
             x = transformer2d_apply(attns[i], x, context, heads=heads,
                                     use_flash=use_flash,
-                                    num_groups=num_groups)
+                                    num_groups=num_groups,
+                                    zero_ctx_prefix=zero_ctx_prefix)
     if "upsampler" in params:
         x = upsample_apply(params["upsampler"], x)
     return x

@@ -142,7 +142,8 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
             [lat.astype(compute_dtype), mask_d, masked_d], axis=-1)
         tt = jnp.broadcast_to(t, (inp.shape[0],))
         eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f,
-                         class_labels=class_labels, pose_cond=pose_cond)
+                         class_labels=class_labels, pose_cond=pose_cond,
+                         zero_ctx_prefix=n if use_cfg else 0)
         eps = eps.astype(jnp.float32)
         if use_cfg:
             eps = apply_cfg(eps, guidance_scale, guidance_rescale)

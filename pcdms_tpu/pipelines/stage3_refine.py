@@ -81,7 +81,8 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
         lat = jnp.concatenate([x] * 2, 0) if use_cfg else x
         inp = jnp.concatenate([lat.astype(compute_dtype), gen_d], axis=-1)
         tt = jnp.broadcast_to(t, (inp.shape[0],))
-        eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f)
+        eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f,
+                         zero_ctx_prefix=n if use_cfg else 0)
         eps = eps.astype(jnp.float32)
         if use_cfg:
             eps = apply_cfg(eps, guidance_scale, guidance_rescale)

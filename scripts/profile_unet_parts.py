@@ -1,0 +1,180 @@
+"""Decompose the stage-2 UNet step cost on the real chip.
+
+Times each component family in a lax.scan inside ONE jit (per-call tunnel
+overhead ~25ms, so small ops must be looped on device), synchronizing via
+a single scalar read (see pcdms_tpu/utils/profiling.py).
+
+Variants (select with PROFILE_PARTS, comma-separated; default all):
+  matmul   - bf16 4096^3 sanity (should be ~190 TF/s marginal on v5e)
+  conv     - raw 3x3 bf16 convs at the three UNet level shapes
+  gn       - GroupNorm+SiLU at level-0 shape
+  attn     - one transformer2d block per level shape (self+cross+geglu)
+  unet     - full stage-2 UNet eval, CFG batch 8
+  noattn   - same with transformer2d stubbed to identity
+
+Prints ms/iteration and implied TF/s where meaningful.
+"""
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pcdms_tpu.models.unet2d import stage2_unet_config, unet_init, unet_apply
+from pcdms_tpu.nn import unet_blocks
+from pcdms_tpu.nn.layers import (
+    conv2d_init, conv2d_apply, group_norm_init, group_norm_apply, silu,
+)
+from pcdms_tpu.nn.unet_blocks import transformer2d_init, transformer2d_apply
+from pcdms_tpu.utils.tree import cast_pytree
+
+PARTS = os.environ.get(
+    "PROFILE_PARTS", "matmul,conv,gn,attn,unet,noattn").split(",")
+B = int(os.environ.get("PROFILE_BATCH", "8"))     # CFG batch (4 imgs x 2)
+
+
+def time_scan(name, f, x, iters, flops=None, bytes_moved=None):
+    """Time iters sequential applications of f inside one jit."""
+
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            y = f(c)
+            # serialize iterations through a scalar data dependency
+            return c + jnp.mean(y).astype(c.dtype) * 1e-12, None
+        c, _ = jax.lax.scan(body, x0, None, length=iters)
+        return jnp.sum(c.astype(jnp.float32))
+
+    t0 = time.perf_counter()
+    float(run(x))                     # compile + warmup
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(x))
+    dt = (time.perf_counter() - t0) / iters
+    msg = f"{name}: {dt * 1e3:.2f}ms/iter (compile {compile_s:.0f}s)"
+    if flops:
+        msg += f"  {flops / dt / 1e12:.1f} TF/s"
+    if bytes_moved:
+        msg += f"  {bytes_moved / dt / 1e9:.0f} GB/s"
+    print(msg, flush=True)
+    return dt
+
+
+def main():
+    print(f"backend={jax.default_backend()} batch={B}", flush=True)
+    key = jax.random.PRNGKey(0)
+
+    if "matmul" in PARTS:
+        n = 4096
+        a = jax.random.normal(key, (n, n), jnp.bfloat16)
+
+        def mm(x):
+            return jax.lax.dot(x, x, precision=None,
+                               preferred_element_type=jnp.bfloat16)
+
+        time_scan("matmul 4096^3 bf16", mm, a, 32, flops=2 * n ** 3)
+
+    # UNet level shapes (latent 64x128 for the 512x1024 canvas)
+    levels = [(64, 128, 320), (32, 64, 640), (16, 32, 1280)]
+
+    if "conv" in PARTS:
+        for h, w, c in levels:
+            p = cast_pytree(conv2d_init(key, c, c, 3), jnp.bfloat16)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+            f = functools.partial(conv2d_apply, p, padding=[(1, 1), (1, 1)])
+            fl = 2 * B * h * w * c * c * 9
+            time_scan(f"conv3x3 {h}x{w}x{c}", f, x, 16, flops=fl)
+
+    if "fconv" in PARTS:
+        from pcdms_tpu.ops.fused_conv import gn_silu_conv3x3
+        for h, w, c in levels:
+            p = cast_pytree(conv2d_init(key, c, c, 3), jnp.bfloat16)
+            gn = group_norm_init(c)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+
+            def f(x, p=p, gn=gn):
+                return gn_silu_conv3x3(x, gn["scale"], gn["bias"],
+                                       p["kernel"], p["bias"],
+                                       num_groups=32)
+
+            fl = 2 * B * h * w * c * c * 9
+            time_scan(f"fused gn+silu+conv {h}x{w}x{c}", f, x, 16, flops=fl)
+
+    if "gn" in PARTS:
+        h, w, c = levels[0]
+        p = group_norm_init(c)
+        x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+
+        def f(x):
+            return silu(group_norm_apply(p, x, 32, 1e-5))
+
+        time_scan(f"gn+silu {h}x{w}x{c}", f, x, 16,
+                  bytes_moved=2 * x.size * 2)
+
+    if "ln" in PARTS:
+        from pcdms_tpu.nn.layers import layer_norm_init, layer_norm_apply
+        h, w, c = levels[0]
+        p = layer_norm_init(c)
+        x = jax.random.normal(key, (B, h * w, c), jnp.bfloat16)
+
+        def f(x):
+            return layer_norm_apply(p, x)
+
+        time_scan(f"layernorm {h * w}x{c}", f, x, 16,
+                  bytes_moved=2 * x.size * 2)
+
+    if "attn" in PARTS:
+        ctx = jax.random.normal(key, (B, 258, 1024), jnp.bfloat16)
+        for h, w, c in levels:
+            p = cast_pytree(
+                transformer2d_init(key, c, c // 64, 64, 1024), jnp.bfloat16)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+            f = functools.partial(transformer2d_apply, p, context=ctx,
+                                  heads=c // 64, use_flash=True)
+            l = h * w
+            fl = (4 * B * l * l * 64 * (c // 64)        # self-attn
+                  + 4 * B * l * 258 * 64 * (c // 64)    # cross-attn
+                  + 2 * B * l * c * c * 12)             # projections+geglu
+            time_scan(f"t2d {h}x{w}x{c}", f, x, 8, flops=fl)
+
+    if "unet" in PARTS or "noattn" in PARTS or "unet_fused" in PARTS:
+        cfg = stage2_unet_config()
+        params = cast_pytree(unet_init(jax.random.PRNGKey(1), cfg),
+                             jnp.bfloat16)
+        sample = jax.random.normal(key, (B, 64, 128, 9), jnp.bfloat16)
+        ctx = jax.random.normal(key, (B, 258, 1024), jnp.bfloat16)
+        cls = jnp.ones((B, 1024), jnp.bfloat16)
+        ts = jnp.full((B,), 500, jnp.int32)
+        pose = jnp.zeros((B, 64, 128, 320), jnp.bfloat16)
+
+        def f(x):
+            out = unet_apply(params, cfg, x, ts, ctx, class_labels=cls,
+                             pose_cond=pose)
+            return jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, 5)))
+
+        if "unet" in PARTS:
+            time_scan("unet full", f, sample, 4)
+        if "unet_fused" in PARTS:
+            import dataclasses
+            fcfg = dataclasses.replace(cfg, fused_conv=True)
+
+            def ff(x):
+                out = unet_apply(params, fcfg, x, ts, ctx, class_labels=cls,
+                                 pose_cond=pose)
+                return jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, 5)))
+
+            time_scan("unet fused-conv", ff, sample, 4)
+        if "noattn" in PARTS:
+            orig = unet_blocks.transformer2d_apply
+            unet_blocks.transformer2d_apply = (
+                lambda p, x, context, **kw: x)
+            try:
+                time_scan("unet no-attn", f, sample, 4)
+            finally:
+                unet_blocks.transformer2d_apply = orig
+
+
+if __name__ == "__main__":
+    main()
