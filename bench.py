@@ -38,11 +38,15 @@ def main():
     width = 2 * height                     # [source | target] canvas
     reps = int(os.environ.get("BENCH_REPS", "3"))
     unroll = int(os.environ.get("BENCH_UNROLL", "2"))
+    fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
     unet_cfg = stage2_unet_config()
+    if fused_conv:
+        import dataclasses
+        unet_cfg = dataclasses.replace(unet_cfg, fused_conv=True)
     params = {
         "unet": unet_init(k1, unet_cfg),
         "image_proj": image_proj_mlp_init(k2),

@@ -43,22 +43,36 @@ def attention_reference(q, k, v, scale=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
-                  m_ref, l_ref, acc_ref,
+                  m_ref, acc_ref,
                   *, scale: float, kv_len: int, block_k: int,
-                  masked: bool):
+                  head_dim: int, masked: bool):
+    """Online-softmax block step, exp2 domain.
+
+    Two MXU tricks vs the textbook formulation:
+      * log2(e) is folded into the softmax scale so the VPU computes
+        exp2 directly (exp lowers to exp2 + multiply on TPU).
+      * v arrives padded to ``d_aug`` lanes with a ones-column at index
+        ``head_dim`` — the PV matmul then produces the softmax row-sum
+        in that column for free (the MXU tile is 128 lanes wide whether
+        or not d=64 uses them), and the accumulator's alpha-rescale
+        carries the denominator with no separate l bookkeeping.
+    """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)   # (bq, d), pre-scaled
+    # (bq, d), pre-scaled into the exp2 domain
+    q = q_ref[0] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
     k = k_ref[0]                                     # (bk, d)
-    v = v_ref[0]                                     # (bk, d)
+    v = v_ref[0]                                     # (bk, d_aug)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -69,28 +83,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    m_prev = m_ref[:, 0:1]             # (bq, 1)
-    l_prev = l_ref[:, 0:1]             # (bq, 1)
-
+    m_prev = m_ref[:, 0:1]                                # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)            # (bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                       # (bq, 1)
-    p = jnp.exp(s - m_new)                                # (bq, bk)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    alpha = jnp.exp2(m_prev - m_new)                      # (bq, 1)
+    p = jnp.exp2(s - m_new)                               # (bq, bk)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                     # (bq, d)
+    )                                                     # (bq, d_aug)
     acc_ref[:] = acc_ref[:] * alpha + pv
-
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == nk - 1)
     def _finalize():
-        l = l_ref[:, 0:1]
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        l = acc_ref[:, head_dim:head_dim + 1]             # softmax denom
+        o = acc_ref[:, :head_dim] / jnp.maximum(l, 1e-30)
+        o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -113,9 +123,20 @@ def _flash_attention_3d(q, k, v, scale: float,
         k = jnp.pad(k, ((0, 0), (0, lk_pad - kv_len), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_pad - kv_len), (0, 0)))
 
+    # augment v with a ones-column at index d (softmax denominator rides
+    # the PV matmul) and pad lanes to the 128 tile the MXU uses anyway;
+    # padded kv rows contribute 0 to the denominator because the score
+    # mask already zeroes p there
+    masked_pad = lk_pad != kv_len
+    d_aug = _round_up(d + 1, 128)
+    ones = jnp.ones((bh, lk_pad, 1), v.dtype)
+    v = jnp.concatenate(
+        [v, ones, jnp.zeros((bh, lk_pad, d_aug - d - 1), v.dtype)], axis=2)
+
     grid = (bh, lq_pad // block_q, lk_pad // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
-                               block_k=block_k, masked=lk_pad != kv_len)
+                               block_k=block_k, head_dim=d,
+                               masked=masked_pad)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -124,16 +145,15 @@ def _flash_attention_3d(q, k, v, scale: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d_aug), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
-            pltpu.VMEM((block_q, d), jnp.float32),     # output accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),    # running max (log2)
+            pltpu.VMEM((block_q, d_aug), jnp.float32),  # out acc + denom
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

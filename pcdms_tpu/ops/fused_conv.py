@@ -70,19 +70,23 @@ def _fused_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, extra_ref, o_ref,
     """One (batch, cout-block, h-block) grid step.
 
     x_ref:    (1, H+2, W+2, Cin)  full input slab (resident across steps)
-    a_ref/c_ref: (1, Cin)         folded GN affine
+    a_ref/c_ref: (B, Cin)         folded GN affine (whole array; the
+                                  kernel row-selects its batch item —
+                                  TPU blocks can't be (1, C) slices of
+                                  a (B, C) array unless B == 1)
     w_ref:    (3, 3, Cin, CoB)    weight block
     b_ref:    (1, CoB)            bias
-    extra_ref: temb (1, CoB) | residual (1, bh, W, CoB) | zeros (1, CoB)
+    extra_ref: temb (B, CoB) | residual (1, bh, W, CoB) | zeros (1, CoB)
     o_ref:    (1, bh, W, CoB)
     """
+    bi = pl.program_id(0)
     hi = pl.program_id(2)
     row0 = hi * bh                              # top padded-row of window
 
     x = x_ref[0, pl.ds(row0, bh + 2)]           # (bh+2, W+2, Cin)
     xf = x.astype(jnp.float32)
-    a = a_ref[0].astype(jnp.float32)
-    c = c_ref[0].astype(jnp.float32)
+    a = a_ref[bi].astype(jnp.float32)
+    c = c_ref[bi].astype(jnp.float32)
     xn = xf * a[None, None, :] + c[None, None, :]
     if apply_act:
         xn = xn * jax.nn.sigmoid(xn)
@@ -104,7 +108,7 @@ def _fused_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, extra_ref, o_ref,
 
     out = acc + b_ref[0].astype(jnp.float32)[None, None, :]
     if extra_mode == 1:        # temb broadcast add
-        out = out + extra_ref[0].astype(jnp.float32)[None, None, :]
+        out = out + extra_ref[bi].astype(jnp.float32)[None, None, :]
     elif extra_mode == 2:      # residual add
         out = out + extra_ref[0].astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
@@ -118,7 +122,9 @@ def _pick_co_block(cin: int, cout: int) -> int:
     """Largest cout block whose (3,3,Cin,CoB) bf16 slice fits the weight
     budget; 0 means no aligned block fits (caller falls back to XLA)."""
     for cand in (cout, 512, 384, 320, 256, 128):
+        # Mosaic requires lane-dim blocks divisible by 128 or whole
         if cand <= cout and cout % cand == 0 \
+                and (cand % 128 == 0 or cand == cout) \
                 and 9 * cin * cand * 2 <= _WEIGHT_BUDGET:
             return cand
     return 0
@@ -150,7 +156,7 @@ def _fused_gn_silu_conv(x, a, c, kernel, bias, extra,
                                   lambda i, j, k: (i, k, 0, j),
                                   memory_space=pltpu.VMEM)
     elif extra_mode == 1:
-        extra_spec = pl.BlockSpec((1, co_b), lambda i, j, k: (i, j),
+        extra_spec = pl.BlockSpec((b, co_b), lambda i, j, k: (0, j),
                                   memory_space=pltpu.VMEM)
     else:
         extra_spec = pl.BlockSpec((1, co_b), lambda i, j, k: (0, j),
@@ -165,9 +171,9 @@ def _fused_gn_silu_conv(x, a, c, kernel, bias, extra,
             pl.BlockSpec((1, h + 2, w + 2, cin),
                          lambda i, j, k: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda i, j, k: (i, 0),
+            pl.BlockSpec((b, cin), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin), lambda i, j, k: (i, 0),
+            pl.BlockSpec((b, cin), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, cin, co_b), lambda i, j, k: (0, 0, 0, j),
                          memory_space=pltpu.VMEM),

@@ -79,6 +79,18 @@ def main():
     # UNet level shapes (latent 64x128 for the 512x1024 canvas)
     levels = [(64, 128, 320), (32, 64, 640), (16, 32, 1280)]
 
+    if "noop" in PARTS:
+        # measures the timing harness's own carry-chain cost per iter
+        h, w, c = levels[0]
+        x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+        time_scan("noop (carry-chain only)", lambda x: x, x, 16,
+                  bytes_moved=2 * x.size * 2)
+
+    if "hbm" in PARTS:
+        x = jax.random.normal(key, (64 * 1024 * 1024 // 2,), jnp.bfloat16)
+        time_scan("hbm copy 64MB", lambda x: x + 1.0, x, 16,
+                  bytes_moved=2 * x.size * 2)
+
     if "conv" in PARTS:
         for h, w, c in levels:
             p = cast_pytree(conv2d_init(key, c, c, 3), jnp.bfloat16)
