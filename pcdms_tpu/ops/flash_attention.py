@@ -171,6 +171,70 @@ def _flash_attention_3d(q, k, v, scale: float,
     return out
 
 
+# ---------------------------------------------------------------------------
+# differentiation: Pallas forward + chunked exact-recompute backward
+# ---------------------------------------------------------------------------
+# pallas_call has no automatic VJP, and materializing the full (Lq, Lk)
+# f32 score matrix in the backward pass OOMs at 8192 tokens. The backward
+# here recomputes softmax per q-chunk (flash-attention backward written
+# in XLA): memory is bounded by the chunk while gradients stay exact.
+
+_BWD_CHUNK = 256
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_3d_diff(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out)
+
+
+def _flash_3d_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, out = res
+    bh, lq, d = q.shape
+    cq = min(_BWD_CHUNK, lq)
+    pad = (-lq) % cq
+    if pad:
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        dop = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+        outp = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
+    else:
+        qp, dop, outp = q, do, out
+    n = qp.shape[1] // cq
+    qc = qp.reshape(bh, n, cq, d).transpose(1, 0, 2, 3)
+    doc = dop.reshape(bh, n, cq, d).transpose(1, 0, 2, 3)
+    oc = outp.reshape(bh, n, cq, d).transpose(1, 0, 2, 3)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def step(carry, per):
+        dk_acc, dv_acc = carry
+        q_c, do_c, o_c = per
+        q_c = q_c.astype(jnp.float32)
+        do_c = do_c.astype(jnp.float32)
+        o_c = o_c.astype(jnp.float32)
+        s = jnp.einsum("bqd,bkd->bqk", q_c, kf) * scale
+        p = jax.nn.softmax(s, axis=-1)                     # (BH, cq, Lk)
+        dp = jnp.einsum("bqd,bkd->bqk", do_c, vf)
+        dsum = jnp.sum(do_c * o_c, axis=-1, keepdims=True)  # rowsum(do*o)
+        ds = p * (dp - dsum)
+        dq_c = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, q_c) * scale
+        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, do_c)
+        return (dk_acc, dv_acc), dq_c
+
+    zeros = jnp.zeros(k.shape, jnp.float32)
+    (dk, dv), dq = jax.lax.scan(step, (zeros, zeros), (qc, doc, oc))
+    dq = dq.transpose(1, 0, 2, 3).reshape(bh, n * cq, d)[:, :lq]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_3d_diff.defvjp(_flash_3d_fwd, _flash_3d_bwd)
+
+
 def _pick_blocks(lq: int, lk: int, block_q: int, block_k: int):
     # moderately short kv: single k block -> one-pass softmax
     if lk <= 2048:
@@ -207,8 +271,8 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
     q3 = q.reshape(b * h, lq, d)
     k3 = k.reshape(b * h, lk, d)
     v3 = v.reshape(b * h, lk, d)
-    out = _flash_attention_3d(q3, k3, v3, float(scale), block_q, block_k,
-                              interpret)
+    out = _flash_3d_diff(q3, k3, v3, float(scale), block_q, block_k,
+                         interpret)
     return out.reshape(b, h, lq, d)
 
 

@@ -54,3 +54,59 @@ def test_softmax_stability_large_logits():
     np.testing.assert_allclose(
         np.asarray(got[0, 0, 0]), np.asarray(jnp.mean(v[0, 0], axis=0)),
         atol=1e-5)
+
+
+class TestFlashGradients:
+    """custom_vjp: Pallas forward, chunked exact-recompute backward."""
+
+    def _setup(self, lq=96, lk=160, d=16):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(k1, (2, lq, d))
+        k = jax.random.normal(k2, (2, lk, d))
+        v = jax.random.normal(k3, (2, lk, d))
+        return q, k, v
+
+    def test_grads_match_reference(self):
+        from pcdms_tpu.ops.flash_attention import (
+            _flash_3d_diff, attention_reference,
+        )
+        q, k, v = self._setup()
+        scale = 0.25
+
+        def f_kernel(q, k, v):
+            return jnp.sum(jnp.sin(
+                _flash_3d_diff(q, k, v, scale, 64, 64, True)))
+
+        def f_ref(q, k, v):
+            return jnp.sum(jnp.sin(attention_reference(
+                q[:, None], k[:, None], v[:, None], scale)[:, 0]))
+
+        g_kernel = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_kernel, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
+
+    def test_grads_with_chunk_padding(self):
+        # lq not a multiple of the backward chunk size
+        import importlib
+        fa = importlib.import_module("pcdms_tpu.ops.flash_attention")
+        q, k, v = self._setup(lq=70, lk=128)
+        old = fa._BWD_CHUNK
+        fa._BWD_CHUNK = 32
+        try:
+            def f(q, k, v):
+                return jnp.sum(fa._flash_3d_diff(q, k, v, 0.25, 64, 64,
+                                                 True) ** 2)
+
+            def f_ref(q, k, v):
+                return jnp.sum(fa.attention_reference(
+                    q[:, None], k[:, None], v[:, None], 0.25)[:, 0] ** 2)
+
+            g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+            gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+            for a, b in zip(g, gr):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-3, rtol=2e-3)
+        finally:
+            fa._BWD_CHUNK = old
