@@ -187,13 +187,26 @@ def _flash_3d_diff(q, k, v, scale, block_q, block_k, interpret):
     return _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret)
 
 
+def _use_pallas_bwd() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v, out)
+    if _use_pallas_bwd():
+        from pcdms_tpu.ops.flash_attention_bwd import flash_fwd_lse
+        out, l2 = flash_fwd_lse(q, k, v, scale, block_q, block_k, interpret)
+    else:
+        out = _flash_attention_3d(q, k, v, scale, block_q, block_k,
+                                  interpret)
+        l2 = None
+    return out, (q, k, v, out, l2)
 
 
 def _flash_3d_bwd(scale, block_q, block_k, interpret, res, do):
-    q, k, v, out = res
+    q, k, v, out, l2 = res
+    if l2 is not None:
+        from pcdms_tpu.ops.flash_attention_bwd import flash_bwd
+        return flash_bwd(q, k, v, out, l2, do, scale, interpret=interpret)
     bh, lq, d = q.shape
     cq = min(_BWD_CHUNK, lq)
     pad = (-lq) % cq
@@ -207,23 +220,27 @@ def _flash_3d_bwd(scale, block_q, block_k, interpret, res, do):
     qc = qp.reshape(bh, n, cq, d).transpose(1, 0, 2, 3)
     doc = dop.reshape(bh, n, cq, d).transpose(1, 0, 2, 3)
     oc = outp.reshape(bh, n, cq, d).transpose(1, 0, 2, 3)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    f32 = jnp.float32
 
     def step(carry, per):
+        # matmul operands stay bf16 (full-rate MXU) with f32 accumulation
         dk_acc, dv_acc = carry
         q_c, do_c, o_c = per
-        q_c = q_c.astype(jnp.float32)
-        do_c = do_c.astype(jnp.float32)
-        o_c = o_c.astype(jnp.float32)
-        s = jnp.einsum("bqd,bkd->bqk", q_c, kf) * scale
+        s = jnp.einsum("bqd,bkd->bqk", q_c, k,
+                       preferred_element_type=f32) * scale
         p = jax.nn.softmax(s, axis=-1)                     # (BH, cq, Lk)
-        dp = jnp.einsum("bqd,bkd->bqk", do_c, vf)
-        dsum = jnp.sum(do_c * o_c, axis=-1, keepdims=True)  # rowsum(do*o)
-        ds = p * (dp - dsum)
-        dq_c = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
-        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, q_c) * scale
-        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, do_c)
+        pb = p.astype(k.dtype)
+        dp = jnp.einsum("bqd,bkd->bqk", do_c, v,
+                        preferred_element_type=f32)
+        dsum = jnp.sum(do_c.astype(f32) * o_c.astype(f32),
+                       axis=-1, keepdims=True)             # rowsum(do*o)
+        ds = (p * (dp - dsum)).astype(k.dtype)
+        dq_c = jnp.einsum("bqk,bkd->bqd", ds, k,
+                          preferred_element_type=f32) * scale
+        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, q_c,
+                                     preferred_element_type=f32) * scale
+        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", pb, do_c,
+                                     preferred_element_type=f32)
         return (dk_acc, dv_acc), dq_c
 
     zeros = jnp.zeros(k.shape, jnp.float32)

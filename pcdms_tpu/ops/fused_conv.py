@@ -83,10 +83,17 @@ def _fused_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, extra_ref, o_ref,
     hi = pl.program_id(2)
     row0 = hi * bh                              # top padded-row of window
 
+    def take_row(ref):
+        # dynamic single-row gathers can't be proven sublane-aligned by
+        # Mosaic; select the batch row with a masked reduction instead
+        full = ref[:, :].astype(jnp.float32)            # (B, C)
+        sel = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0) == bi
+        return jnp.sum(jnp.where(sel, full, 0.0), axis=0)
+
     x = x_ref[0, pl.ds(row0, bh + 2)]           # (bh+2, W+2, Cin)
     xf = x.astype(jnp.float32)
-    a = a_ref[bi].astype(jnp.float32)
-    c = c_ref[bi].astype(jnp.float32)
+    a = take_row(a_ref)
+    c = take_row(c_ref)
     xn = xf * a[None, None, :] + c[None, None, :]
     if apply_act:
         xn = xn * jax.nn.sigmoid(xn)
@@ -108,7 +115,7 @@ def _fused_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, extra_ref, o_ref,
 
     out = acc + b_ref[0].astype(jnp.float32)[None, None, :]
     if extra_mode == 1:        # temb broadcast add
-        out = out + extra_ref[bi].astype(jnp.float32)[None, None, :]
+        out = out + take_row(extra_ref)[None, None, :]
     elif extra_mode == 2:      # residual add
         out = out + extra_ref[0].astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)

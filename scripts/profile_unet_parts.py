@@ -125,6 +125,22 @@ def main():
         time_scan(f"gn+silu {h}x{w}x{c}", f, x, 16,
                   bytes_moved=2 * x.size * 2)
 
+    if "attnsweep" in PARTS:
+        # flash kernel block-size sweep at the level-0 self-attn shape
+        from pcdms_tpu.ops.flash_attention import _flash_attention_3d
+        bh, l, d = B * 5, 8192, 64
+        q = jax.random.normal(key, (bh, l, d), jnp.bfloat16)
+        fl = 4 * bh * l * l * d
+        for bq, bk in ((1024, 2048), (1024, 1024), (2048, 1024),
+                       (512, 4096), (1024, 4096)):
+            def f(x, bq=bq, bk=bk):
+                return _flash_attention_3d(x, x, x, 0.125, bq, bk, False)
+            try:
+                time_scan(f"flash bq{bq} bk{bk}", f, q, 8, flops=fl)
+            except Exception as e:  # VMEM overflow etc.
+                print(f"flash bq{bq} bk{bk}: FAILED {type(e).__name__}",
+                      flush=True)
+
     if "ln" in PARTS:
         from pcdms_tpu.nn.layers import layer_norm_init, layer_norm_apply
         h, w, c = levels[0]
