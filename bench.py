@@ -32,7 +32,9 @@ def main():
     from pcdms_tpu.models.vae import vae_init
     from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))   # measured sweet spot
+                                                      # (b4 .514, b8 .543,
+                                                      #  b16 .526 on v5e-1)
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     height = int(os.environ.get("BENCH_HEIGHT", "512"))
     width = 2 * height                     # [source | target] canvas

@@ -45,6 +45,10 @@ def add_common_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="rematerialize UNet blocks in backward (remat)")
     p.add_argument("--json_path", type=str, default=None)
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="train on random tensors of the right shapes "
+                        "(smoke tests / throughput benchmarking without "
+                        "a DeepFashion checkout)")
     p.add_argument("--image_root_path", type=str, default="")
     p.add_argument("--report_to", type=str, default=None)
     p.add_argument("--zero1", action="store_true",

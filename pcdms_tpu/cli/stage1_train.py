@@ -45,7 +45,8 @@ def build_models(args):
     k1, k2 = jax.random.split(key)
     if args.random_init:
         prior = prior_init(k1, prior_cfg)
-        clip = vit_init(k2, clip_vit_h14_config())
+        clip = None if args.synthetic_data else \
+            vit_init(k2, clip_vit_h14_config())
     else:
         from pcdms_tpu.compat.load import load_clip_vision, load_prior
         prior = (load_prior(args.prior_path) if args.prior_path
@@ -54,7 +55,23 @@ def build_models(args):
     return prior_cfg, prior, clip
 
 
+def synthetic_batches(args):
+    import numpy as np
+    rng = np.random.default_rng(args.seed)
+    b = args.train_batch_size
+    while True:
+        yield {
+            "s_embed": rng.standard_normal((b, 1024), dtype=np.float32),
+            "t_embed": rng.standard_normal((b, 1024), dtype=np.float32),
+            "s_pose": rng.random((b, 36), dtype=np.float32),
+            "t_pose": rng.random((b, 36), dtype=np.float32),
+        }
+
+
 def make_batches(args, clip_params):
+    if args.synthetic_data:
+        yield from synthetic_batches(args)
+        return
     from pcdms_tpu.data.datasets import (
         PairList, Stage1Dataset, batch_iterator,
     )

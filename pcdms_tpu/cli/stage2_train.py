@@ -62,9 +62,12 @@ def build_models(args):
     if args.random_init:
         unet = unet_init(k1, unet_cfg)
         vae = vae_init(k2)
-        from pcdms_tpu.models.vit import vit_init
-        clip = vit_init(k3, clip_vit_h14_config())
-        dino = vit_init(k4, dinov2_giant_config())
+        if args.synthetic_data:
+            clip = dino = None      # encoders unused: features are random
+        else:
+            from pcdms_tpu.models.vit import vit_init
+            clip = vit_init(k3, clip_vit_h14_config())
+            dino = vit_init(k4, dinov2_giant_config())
     else:
         from pcdms_tpu.compat.load import (
             load_clip_vision, load_dinov2, load_sd_unet, load_sd_vae,
@@ -106,8 +109,29 @@ def _maybe_init_class_embedding(unet_params, cfg, key):
     return unet_params
 
 
+def synthetic_batches(args):
+    import numpy as np
+    rng = np.random.default_rng(args.seed)
+    b, h, w = args.train_batch_size, args.img_height, 2 * args.img_width
+    while True:
+        yield {
+            "st_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32),
+            "masked_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(
+                np.float32),
+            "pose_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(
+                np.float32),
+            "dino_features": rng.standard_normal(
+                (b, 257, 1536), dtype=np.float32),
+            "clip_embed": rng.standard_normal(
+                (b, 1, 1024), dtype=np.float32),
+        }
+
+
 def make_batches(args, clip_params, dino_params):
     """Host data iterator + on-device frozen-encoder pass."""
+    if args.synthetic_data:
+        yield from synthetic_batches(args)
+        return
     from pcdms_tpu.data.datasets import (
         PairList, Stage2Dataset, batch_iterator,
     )

@@ -49,7 +49,8 @@ def build_models(args):
     if args.random_init:
         unet = unet_init(k1, unet_cfg)
         vae = vae_init(k2)
-        dino = vit_init(k3, dinov2_giant_config())
+        dino = None if args.synthetic_data else \
+            vit_init(k3, dinov2_giant_config())
     else:
         from pcdms_tpu.compat.load import (
             load_dinov2, load_sd_unet, load_sd_vae,
@@ -63,7 +64,25 @@ def build_models(args):
     return unet_cfg, trainable, vae, dino
 
 
+def synthetic_batches(args):
+    import numpy as np
+    rng = np.random.default_rng(args.seed)
+    b, h, w = args.train_batch_size, args.img_height, args.img_width
+    while True:
+        yield {
+            "target_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(
+                np.float32),
+            "gen_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(
+                np.float32),
+            "dino_features": rng.standard_normal(
+                (b, 257, 1536), dtype=np.float32),
+        }
+
+
 def make_batches(args, dino_params):
+    if args.synthetic_data:
+        yield from synthetic_batches(args)
+        return
     from pcdms_tpu.data.datasets import (
         PairList, Stage3Dataset, batch_iterator,
     )

@@ -194,6 +194,9 @@ def _fused_gn_silu_conv(x, a, c, kernel, bias, extra,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # the double-buffered level-0 slab pushes slightly past the
+            # default 16M scoped-vmem limit; v5e can go higher
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * cin * cout * 9,

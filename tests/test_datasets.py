@@ -140,3 +140,32 @@ class TestClipPreprocess:
         out = to_neg1_1(img)
         np.testing.assert_allclose(out[0, 0], [-1, 128 * 2 / 255 - 1, 1],
                                    atol=1e-6)
+
+
+class TestSyntheticTrainingData:
+    """--synthetic_data CLI mode yields correctly-shaped batches."""
+
+    def _args(self, **kw):
+        import argparse
+        base = dict(seed=0, train_batch_size=2, img_height=64, img_width=64)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    def test_stage1_shapes(self):
+        from pcdms_tpu.cli.stage1_train import synthetic_batches
+        b = next(synthetic_batches(self._args()))
+        assert b["s_embed"].shape == (2, 1024)
+        assert b["s_pose"].shape == (2, 36)
+
+    def test_stage2_shapes(self):
+        from pcdms_tpu.cli.stage2_train import synthetic_batches
+        b = next(synthetic_batches(self._args()))
+        assert b["st_image"].shape == (2, 64, 128, 3)
+        assert b["dino_features"].shape == (2, 257, 1536)
+        assert b["clip_embed"].shape == (2, 1, 1024)
+
+    def test_stage3_shapes(self):
+        from pcdms_tpu.cli.stage3_train import synthetic_batches
+        b = next(synthetic_batches(self._args()))
+        assert b["target_image"].shape == (2, 64, 64, 3)
+        assert b["gen_image"].shape == (2, 64, 64, 3)
