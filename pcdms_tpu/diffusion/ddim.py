@@ -28,11 +28,15 @@ def ddim_timesteps(num_train_timesteps: int, num_inference_steps: int,
 
 
 def ddim_step_tables(schedule: NoiseSchedule, num_inference_steps: int,
-                     steps_offset: int = 1):
-    """Returns (timesteps (N,), cx0 (N,), ceps (N,)) device arrays.
+                     steps_offset: int = 1, eta: float = 0.0):
+    """Returns (timesteps (N,), cx0 (N,), ceps (N,), sigma (N,)) tables.
 
     Step i maps x_{t_i} -> x_{t_{i+1}} (t decreasing); the last step's
     'previous' alpha is alphas_cumprod[0] (set_alpha_to_one=False).
+    eta > 0 adds the DDIM ancestral noise term (diffusers
+    ``DDIMScheduler.step`` eta semantics): sigma_i =
+    eta * sqrt((1-ac_prev)/(1-ac_t)) * sqrt(1 - ac_t/ac_prev), and the
+    epsilon coefficient becomes sqrt(1 - ac_prev - sigma^2).
     """
     T = schedule.num_train_timesteps
     ts = ddim_timesteps(T, num_inference_steps, steps_offset)
@@ -40,12 +44,16 @@ def ddim_step_tables(schedule: NoiseSchedule, num_inference_steps: int,
     ac = np.asarray(schedule.alphas_cumprod)
 
     prev_ts = ts - ratio
+    ac_t = ac[np.clip(ts, 0, T - 1)]
     ac_prev = np.where(prev_ts >= 0, ac[np.clip(prev_ts, 0, T - 1)], ac[0])
 
+    sigma = eta * np.sqrt((1.0 - ac_prev) / (1.0 - ac_t)
+                          * (1.0 - ac_t / ac_prev))
     cx0 = np.sqrt(ac_prev)
-    ceps = np.sqrt(1.0 - ac_prev)
+    ceps = np.sqrt(np.maximum(1.0 - ac_prev - sigma ** 2, 0.0))
     # numpy outputs: table builders run at trace time inside jitted
     # pipelines and must stay host constants (lax.scan converts xs).
     return (np.asarray(ts, np.int32),
             np.asarray(cx0, np.float32),
-            np.asarray(ceps, np.float32))
+            np.asarray(ceps, np.float32),
+            np.asarray(sigma, np.float32))

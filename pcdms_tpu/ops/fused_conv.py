@@ -97,11 +97,14 @@ def _fused_kernel(x_ref, a_ref, c_ref, w_ref, b_ref, extra_ref, o_ref,
     xn = xf * a[None, None, :] + c[None, None, :]
     if apply_act:
         xn = xn * jax.nn.sigmoid(xn)
-    # zero the conv-padding border (GN shift would make it nonzero)
-    row = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 0) + row0
-    col = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1)
-    interior = (row > 0) & (row <= H) & (col > 0) & (col <= W)
-    xn = jnp.where(interior, xn, 0.0).astype(x_ref.dtype)
+    # zero the conv-padding border (GN shift would make it nonzero);
+    # the mask is built 2D and broadcast so Mosaic doesn't materialize
+    # full-window int32 temporaries on the stack
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, W + 2), 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, W + 2), 1)
+    interior = ((row > 0) & (row <= H) & (col > 0)
+                & (col <= W)).astype(jnp.float32)
+    xn = (xn * interior[:, :, None]).astype(x_ref.dtype)
 
     acc = None
     for dy in range(3):
@@ -137,10 +140,16 @@ def _pick_co_block(cin: int, cout: int) -> int:
     return 0
 
 
-def _pick_h_block(h: int, w: int, co_b: int) -> int:
-    """Largest h block dividing h whose f32 accumulator fits the budget."""
+_WINDOW_BUDGET = 4 * 1024 * 1024  # f32 normalize temporaries per step
+
+
+def _pick_h_block(h: int, w: int, cin: int, co_b: int) -> int:
+    """Largest h block dividing h whose f32 accumulator AND per-window
+    normalize temporaries fit their budgets (Mosaic allocates the
+    elementwise chain's intermediates on the kernel stack)."""
     bh = h
-    while bh > 4 and bh * w * co_b * 4 > _ACC_BUDGET:
+    while bh > 4 and (bh * w * co_b * 4 > _ACC_BUDGET
+                      or (bh + 2) * (w + 2) * cin * 4 > _WINDOW_BUDGET):
         bh //= 2
     return bh
 
@@ -155,7 +164,7 @@ def _fused_gn_silu_conv(x, a, c, kernel, bias, extra,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     co_b = _pick_co_block(cin, cout)
     n_co = cout // co_b
-    bh = _pick_h_block(h, w, co_b)
+    bh = _pick_h_block(h, w, cin, co_b)
     n_h = h // bh
 
     if extra_mode == 2:

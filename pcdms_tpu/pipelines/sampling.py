@@ -20,11 +20,30 @@ from pcdms_tpu.diffusion.unipc import unipc_sample
 
 
 def ddim_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
-                     x_init, num_steps: int, unroll: int = 1):
-    """Deterministic DDIM (eta=0). model_eps_fn(x, t) -> epsilon."""
-    ts, cx0, ceps = ddim_step_tables(schedule, num_steps)
+                     x_init, num_steps: int, unroll: int = 1,
+                     eta: float = 0.0, rng=None):
+    """DDIM; deterministic for eta=0, ancestral for eta>0 (requires rng).
+    model_eps_fn(x, t) -> epsilon."""
+    ts, cx0, ceps, sigma = ddim_step_tables(schedule, num_steps, eta=eta)
     sa = jnp.asarray(schedule.sqrt_alphas_cumprod[np.asarray(ts)])
     ssg = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod[np.asarray(ts)])
+
+    if eta > 0.0:
+        if rng is None:
+            raise ValueError("eta > 0 requires an rng")
+        step_rngs = jax.random.split(rng, num_steps)
+
+        def step(x, per):
+            t, a_prev, e_prev, a_t, s_t, sig, r = per
+            eps = model_eps_fn(x, t)
+            x0 = (x - s_t * eps) / a_t
+            z = jax.random.normal(r, x.shape, x.dtype)
+            return a_prev * x0 + e_prev * eps + sig * z, None
+
+        x, _ = jax.lax.scan(
+            step, x_init, (ts, cx0, ceps, sa, ssg, jnp.asarray(sigma),
+                           step_rngs), unroll=unroll)
+        return x
 
     def step(x, per):
         t, a_prev, e_prev, a_t, s_t = per

@@ -53,7 +53,7 @@ def build_half_mask(batch: int, latent_h: int, latent_w: int, dtype):
     static_argnames=("unet_cfg", "vae_cfg", "num_steps",
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
-                     "decode", "unroll"),
+                     "decode", "unroll", "eta"),
 )
 def stage2_generate(params, vae_image, st_pose, dino_features,
                     pred_t_embed, rng, latents=None, *,
@@ -66,7 +66,8 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
                     num_samples: int = 1,
                     compute_dtype=jnp.bfloat16,
                     decode: bool = True,
-                    unroll: int = 1):
+                    unroll: int = 1,
+                    eta: float = 0.0):
     """Generate target-pose images.
 
     params: {"unet", "image_proj", "pose_proj", "vae"} param pytrees.
@@ -156,8 +157,16 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
         x_init = latents.astype(jnp.float32)
     else:
         x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
-    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps,
-                                  unroll)
+    if scheduler == "ddim" and eta > 0.0:
+        from pcdms_tpu.pipelines.sampling import ddim_sample_loop
+        # fold_in: rng was already split above (re-splitting would alias
+        # rng_eta with rng_vae)
+        rng_eta = jax.random.fold_in(rng, 7)
+        latents = ddim_sample_loop(schedule, model_eps, x_init, num_steps,
+                                   unroll, eta=eta, rng=rng_eta)
+    else:
+        latents = SAMPLERS[scheduler](schedule, model_eps, x_init,
+                                      num_steps, unroll)
 
     if not decode:
         return latents

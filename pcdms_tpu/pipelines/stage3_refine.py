@@ -28,7 +28,7 @@ from pcdms_tpu.utils.tree import cast_pytree
     static_argnames=("unet_cfg", "vae_cfg", "num_steps",
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
-                     "decode", "unroll"),
+                     "decode", "unroll", "eta"),
 )
 def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     unet_cfg: UNetConfig,
@@ -40,7 +40,8 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     num_samples: int = 1,
                     compute_dtype=jnp.bfloat16,
                     decode: bool = True,
-                    unroll: int = 1):
+                    unroll: int = 1,
+                    eta: float = 0.0):
     """Refine stage-2 outputs.
 
     params: {"unet", "image_proj", "vae"}.
@@ -92,8 +93,16 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
         x_init = latents.astype(jnp.float32)
     else:
         x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
-    latents = SAMPLERS[scheduler](schedule, model_eps, x_init, num_steps,
-                                  unroll)
+    if scheduler == "ddim" and eta > 0.0:
+        from pcdms_tpu.pipelines.sampling import ddim_sample_loop
+        # fold_in: rng was already split above (re-splitting would alias
+        # rng_eta with rng_vae)
+        rng_eta = jax.random.fold_in(rng, 7)
+        latents = ddim_sample_loop(schedule, model_eps, x_init, num_steps,
+                                   unroll, eta=eta, rng=rng_eta)
+    else:
+        latents = SAMPLERS[scheduler](schedule, model_eps, x_init,
+                                      num_steps, unroll)
 
     if not decode:
         return latents

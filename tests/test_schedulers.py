@@ -93,7 +93,7 @@ class TestDDIM:
 
     def test_perfect_model_recovers_x0(self):
         s = sd21_schedule()
-        ts, cx0, ceps = ddim_step_tables(s, 50)
+        ts, cx0, ceps, _ = ddim_step_tables(s, 50)
         x0_true = jnp.array([[0.7, -1.3, 0.2, 0.9]])
         ac = s.alphas_cumprod
 
@@ -109,7 +109,7 @@ class TestDDIM:
 
     def test_one_step_values(self):
         s = sd21_schedule()
-        ts, cx0, ceps = ddim_step_tables(s, 50)
+        ts, cx0, ceps, _ = ddim_step_tables(s, 50)
         ac = np.asarray(s.alphas_cumprod)
         # step 0: t=981 -> prev=961
         np.testing.assert_allclose(float(cx0[0]), np.sqrt(ac[961]), rtol=1e-5)
@@ -189,7 +189,7 @@ class TestUniPC:
 
         out_unipc = unipc_sample(s, x0_post, x_init, 20)
 
-        ts, cx0, ceps = ddim_step_tables(s, 1000, steps_offset=0)
+        ts, cx0, ceps, _ = ddim_step_tables(s, 1000, steps_offset=0)
         x = x_init
         for i in range(1000):
             t = ts[i]
@@ -220,3 +220,32 @@ class TestCFG:
         out = apply_cfg(jnp.concatenate([u, c]), 7.5, guidance_rescale=1.0)
         np.testing.assert_allclose(float(jnp.std(out)), float(jnp.std(c)),
                                    rtol=1e-4)
+
+
+class TestDDIMEta:
+    def test_sigma_tables(self):
+        from pcdms_tpu.diffusion.schedules import sd21_schedule
+        s = sd21_schedule()
+        ts, cx0, ceps, sig = ddim_step_tables(s, 20, eta=1.0)
+        assert (np.asarray(sig)[:-1] > 0).all()   # noisy except final step
+        ts0, cx00, ceps0, sig0 = ddim_step_tables(s, 20, eta=0.0)
+        np.testing.assert_array_equal(np.asarray(sig0), 0.0)
+        # eta=0 epsilon coeff >= eta=1 coeff (variance moved to noise)
+        assert (np.asarray(ceps0) >= np.asarray(ceps) - 1e-7).all()
+
+    def test_eta_loop_runs_and_differs(self):
+        import jax
+        import jax.numpy as jnp
+        from pcdms_tpu.diffusion.schedules import sd21_schedule
+        from pcdms_tpu.pipelines.sampling import ddim_sample_loop
+        s = sd21_schedule()
+        x0 = jnp.ones((1, 4, 4, 4))
+
+        def eps_fn(x, t):
+            return 0.1 * x
+
+        det = ddim_sample_loop(s, eps_fn, x0, 5)
+        sto = ddim_sample_loop(s, eps_fn, x0, 5, eta=1.0,
+                               rng=jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(sto)).all()
+        assert np.abs(np.asarray(sto) - np.asarray(det)).max() > 1e-4
