@@ -282,7 +282,9 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    if lk <= 512 and not (force_pallas or interpret):
+    # 258-token cross-attention: XLA's fused softmax wins at that size;
+    # 512-token self-attention (level-2/mid) already favors the kernel
+    if lk <= 384 and not (force_pallas or interpret):
         return attention_reference(q, k, v, scale)
     block_q, block_k = _pick_blocks(lq, lk, block_q, block_k)
     q3 = q.reshape(b * h, lq, d)
