@@ -30,7 +30,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 _NEG_INF = -1e30
+# short-kv (cross-attention) route: one-pass Pallas kernel vs XLA fused
+# softmax; measured a wash on v5e (0.5442 vs 0.5459 img/s/chip on the
+# north-star bench), so XLA stays the default. Flip with
+# PCDMS_SHORTKV=pallas.
+_SHORTKV_PALLAS = os.environ.get("PCDMS_SHORTKV", "xla") == "pallas"
 
 
 def attention_reference(q, k, v, scale=None):
@@ -171,6 +178,75 @@ def _flash_attention_3d(q, k, v, scale: float,
     return out
 
 
+def _shortkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    kv_len: int, head_dim: int, masked: bool):
+    """One-pass softmax for short kv (<= one block): no online rescale,
+    no scratch — the whole score row fits, and the denominator rides the
+    PV matmul's ones-column like the main kernel."""
+    q = q_ref[0] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    acc = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    l = jnp.maximum(acc[:, head_dim:head_dim + 1], 1e-30)
+    o_ref[0] = (acc[:, :head_dim] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q",
+                                             "interpret"))
+def _shortkv_attention_3d(q, k, v, scale: float, block_q: int,
+                          interpret: bool):
+    """Single-k-block attention. q: (BH, Lq, D), k/v: (BH, Lk<=512, D)."""
+    bh, lq, d = q.shape
+    kv_len = k.shape[1]
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(kv_len, 128)
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != kv_len:
+        k = jnp.pad(k, ((0, 0), (0, lk_pad - kv_len), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_pad - kv_len), (0, 0)))
+    d_aug = _round_up(d + 1, 128)
+    v = jnp.concatenate(
+        [v, jnp.ones((bh, lk_pad, 1), v.dtype),
+         jnp.zeros((bh, lk_pad, d_aug - d - 1), v.dtype)], axis=2)
+
+    kernel = functools.partial(_shortkv_kernel, scale=scale, kv_len=kv_len,
+                               head_dim=d, masked=lk_pad != kv_len)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, lq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_aug), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lq_pad * lk_pad * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=bh * lq_pad * lk_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :lq] if lq_pad != lq else out
+
+
 # ---------------------------------------------------------------------------
 # differentiation: Pallas forward + chunked exact-recompute backward
 # ---------------------------------------------------------------------------
@@ -207,6 +283,10 @@ def _flash_3d_bwd(scale, block_q, block_k, interpret, res, do):
     if l2 is not None:
         from pcdms_tpu.ops.flash_attention_bwd import flash_bwd
         return flash_bwd(q, k, v, out, l2, do, scale, interpret=interpret)
+    return _chunked_xla_bwd(q, k, v, out, do, scale)
+
+
+def _chunked_xla_bwd(q, k, v, out, do, scale):
     bh, lq, d = q.shape
     cq = min(_BWD_CHUNK, lq)
     pad = (-lq) % cq
@@ -252,6 +332,24 @@ def _flash_3d_bwd(scale, block_q, block_k, interpret, res, do):
 _flash_3d_diff.defvjp(_flash_3d_fwd, _flash_3d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _shortkv_3d_diff(q, k, v, scale, block_q, interpret):
+    return _shortkv_attention_3d(q, k, v, scale, block_q, interpret)
+
+
+def _shortkv_3d_fwd(q, k, v, scale, block_q, interpret):
+    out = _shortkv_attention_3d(q, k, v, scale, block_q, interpret)
+    return out, (q, k, v, out)
+
+
+def _shortkv_3d_bwd(scale, block_q, interpret, res, do):
+    q, k, v, out = res
+    return _chunked_xla_bwd(q, k, v, out, do, scale)
+
+
+_shortkv_3d_diff.defvjp(_shortkv_3d_fwd, _shortkv_3d_bwd)
+
+
 def _pick_blocks(lq: int, lk: int, block_q: int, block_k: int):
     # moderately short kv: single k block -> one-pass softmax
     if lk <= 2048:
@@ -282,9 +380,15 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    # 258-token cross-attention: XLA's fused softmax wins at that size;
-    # 512-token self-attention (level-2/mid) already favors the kernel
+    # 258-token cross-attention path: one-pass short-kv kernel or XLA's
+    # fused softmax (PCDMS_SHORTKV=xla), A/B-able via env
     if lk <= 384 and not (force_pallas or interpret):
+        if on_tpu and _SHORTKV_PALLAS:
+            q3 = q.reshape(b * h, lq, d)
+            out = _shortkv_3d_diff(q3, k.reshape(b * h, lk, d),
+                                   v.reshape(b * h, lk, d), float(scale),
+                                   min(block_q, _round_up(lq, 128)), False)
+            return out.reshape(b, h, lq, d)
         return attention_reference(q, k, v, scale)
     block_q, block_k = _pick_blocks(lq, lk, block_q, block_k)
     q3 = q.reshape(b * h, lq, d)

@@ -110,3 +110,37 @@ class TestFlashGradients:
                                            atol=2e-3, rtol=2e-3)
         finally:
             fa._BWD_CHUNK = old
+
+
+class TestShortKVKernel:
+    def test_matches_reference(self):
+        from pcdms_tpu.ops.flash_attention import _shortkv_attention_3d
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(ks[0], (3, 100, 16))
+        k = jax.random.normal(ks[1], (3, 258, 16))
+        v = jax.random.normal(ks[2], (3, 258, 16))
+        out = _shortkv_attention_3d(q, k, v, 0.25, 128, True)
+        want = attention_reference(q[:, None], k[:, None], v[:, None],
+                                   0.25)[:, 0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gradients(self):
+        from pcdms_tpu.ops.flash_attention import _shortkv_3d_diff
+        ks = jax.random.split(jax.random.PRNGKey(12), 3)
+        q = jax.random.normal(ks[0], (2, 64, 16))
+        k = jax.random.normal(ks[1], (2, 130, 16))
+        v = jax.random.normal(ks[2], (2, 130, 16))
+
+        def f(q, k, v):
+            return jnp.sum(_shortkv_3d_diff(q, k, v, 0.25, 64, True) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(attention_reference(
+                q[:, None], k[:, None], v[:, None], 0.25)[:, 0] ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
