@@ -41,6 +41,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     unroll = int(os.environ.get("BENCH_UNROLL", "2"))
     fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
+    sched = os.environ.get("BENCH_SCHEDULER", "ddim")
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -65,7 +66,7 @@ def main():
         return stage2_generate(
             params, vae_image, st_pose, dino, t_embed,
             jax.random.PRNGKey(seed), unet_cfg=unet_cfg, num_steps=steps,
-            guidance_scale=2.0, scheduler="ddim", unroll=unroll)
+            guidance_scale=2.0, scheduler=sched, unroll=unroll)
 
     # Reduce on device and read ONE scalar back: under the remote-TPU
     # tunnel block_until_ready() does not actually block, and transferring
@@ -84,7 +85,8 @@ def main():
     imgs_per_sec_chip = (batch * reps) / dt / n_chips
     baseline_a100 = 0.25
     print(json.dumps({
-        "metric": f"stage2 {height}px {steps}-step DDIM sampling",
+        "metric": f"stage2 {height}px {steps}-step "
+                  f"{sched.upper()} sampling",
         "value": round(imgs_per_sec_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_chip / baseline_a100, 3),
