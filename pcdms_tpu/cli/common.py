@@ -87,6 +87,64 @@ def default_mesh():
     return make_mesh()
 
 
+def tiny_configs():
+    """Tiny-geometry configs for the full CLI code paths (``--tiny_config``):
+    CI and CPU smoke runs drive the exact batch-test/train mains end to end
+    without compiling SD-2.1-scale graphs. Geometry mirrors the tiny stacks
+    in tests/test_pipelines.py."""
+    from types import SimpleNamespace
+
+    from pcdms_tpu.models.prior_transformer import PriorConfig
+    from pcdms_tpu.models.unet2d import UNetConfig
+    from pcdms_tpu.models.vae import VAEConfig
+    from pcdms_tpu.models.vit import ViTConfig
+
+    def unet2(with_class_embed=True):
+        return UNetConfig(
+            in_channels=9, block_out_channels=(8, 16, 16, 16),
+            layers_per_block=1, cross_attention_dim=16, head_dim=8,
+            class_embed_proj_dim=16 if with_class_embed else None,
+            norm_groups=4, use_flash=False)
+
+    return SimpleNamespace(
+        prior=PriorConfig(num_heads=2, head_dim=8, num_layers=2,
+                          embedding_dim=16, pose_hidden=8),
+        clip=ViTConfig(hidden_size=24, num_layers=2, num_heads=2,
+                       patch_size=32, projection_dim=16, pre_layernorm=True,
+                       patch_bias=False, use_flash=False),
+        dino=ViTConfig(hidden_size=24, num_layers=2, num_heads=2,
+                       patch_size=32, layer_norm_eps=1e-6,
+                       pre_layernorm=False, use_layer_scale=True,
+                       use_swiglu=True, patch_bias=True, use_flash=False),
+        unet2=unet2,
+        unet3=UNetConfig(in_channels=8, block_out_channels=(8, 16, 16, 16),
+                         layers_per_block=1, cross_attention_dim=16,
+                         head_dim=8, norm_groups=4, use_flash=False),
+        vae=VAEConfig(block_out_channels=(4, 8, 8, 8), layers_per_block=1,
+                      norm_groups=2),
+        image_proj_kwargs=dict(in_dim=24, hidden_dim=16, out_dim=16),
+        pose_proj_kwargs=dict(out_channels=8,
+                              block_out_channels=(4, 4, 4, 4)),
+    )
+
+
+def per_item_latents(seed, global_indices, num_samples, shape):
+    """Deterministic initial latents keyed per (dataset item, sample index),
+    sample-major: ``lat[s * n + j]`` is sample ``s`` of item
+    ``global_indices[j]``. Keying by item identity (not batch position)
+    makes batch-test outputs invariant to batch size and to device-count
+    padding, unlike the reference's per-process torch Generator
+    (stage2_batchtest_inpaint_model.py:144-151)."""
+    import numpy as np
+    n = len(global_indices)
+    lat = np.empty((num_samples * n,) + tuple(shape), np.float32)
+    for s in range(num_samples):
+        for j, g in enumerate(global_indices):
+            rng = np.random.default_rng([int(seed), int(g), int(s)])
+            lat[s * n + j] = rng.standard_normal(shape, dtype=np.float32)
+    return lat
+
+
 def save_images(images, paths):
     """images: (N, H, W, 3) float in [-1, 1] -> PNG files."""
     import numpy as np

@@ -18,7 +18,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pcdms_tpu.cli.common import setup_logging
@@ -41,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny-geometry models (CI / CPU smoke runs)")
     return p.parse_args(argv)
 
 
@@ -58,8 +59,13 @@ def main(argv=None):
     from pcdms_tpu.pose.keypoints import read_pose_txt
     from pcdms_tpu.train.encoders import clip_image_embed
 
-    prior_cfg = PriorConfig()
-    clip_cfg = clip_vit_h14_config()
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        tiny = tiny_configs()
+        prior_cfg, clip_cfg = tiny.prior, tiny.clip
+    else:
+        prior_cfg = PriorConfig()
+        clip_cfg = clip_vit_h14_config()
     key = jax.random.PRNGKey(args.seed)
     if args.random_init:
         prior = prior_init(key, prior_cfg)
@@ -77,12 +83,19 @@ def main(argv=None):
     pairs = PairList(args.json_path, args.image_root_path).shard(
         jax.process_index(), jax.process_count())
 
+    from pcdms_tpu.cli.common import default_mesh
+    from pcdms_tpu.parallel.mesh import pad_and_shard
+    mesh = default_mesh()
+    logger.info("inference sharded over %d device(s): %s",
+                mesh.devices.size, mesh.devices.ravel().tolist())
+
     t0 = time.time()
     sims = []
     bs = args.batch_size
     items = pairs.pairs
     for start in range(0, len(items), bs):
         chunk = items[start:start + bs]
+        n = len(chunk)
         s_pix = np.stack([
             clip_preprocess(load_image(pairs.image_path(i["source_image"])))
             for i in chunk])
@@ -96,22 +109,25 @@ def main(argv=None):
             read_pose_txt(pairs.pose_txt_path(i["target_image"]))
             for i in chunk])
 
-        s_embed = clip_image_embed(clip, jnp.asarray(s_pix), cfg=clip_cfg)
-        t_embed = clip_image_embed(clip, jnp.asarray(t_pix), cfg=clip_cfg)
+        s_pix, t_pix, s_pose, t_pose, _ = pad_and_shard(
+            mesh, s_pix, t_pix, s_pose, t_pose)
+        s_embed = clip_image_embed(clip, s_pix, cfg=clip_cfg)
+        t_embed = clip_image_embed(clip, t_pix, cfg=clip_cfg)
 
         pred = stage1_generate(
-            prior, s_embed, jnp.asarray(s_pose), jnp.asarray(t_pose),
+            prior, s_embed, s_pose, t_pose,
             jax.random.PRNGKey(args.seed + start),
             prior_cfg=prior_cfg, num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale)
-        pred = np.asarray(pred)
+        pred = np.asarray(pred)[:n]
 
         for i, item in enumerate(chunk):
             s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
             t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
             np.save(os.path.join(args.save_path, f"{s}_to_{t}.npy"),
                     pred[i:i + 1])
-        sims.extend(cosine_similarity(pred, np.asarray(t_embed)).tolist())
+        sims.extend(cosine_similarity(
+            pred, np.asarray(t_embed)[:n]).tolist())
         logger.info("processed %d/%d", min(start + bs, len(items)),
                     len(items))
 

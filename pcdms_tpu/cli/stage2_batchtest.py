@@ -20,7 +20,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pcdms_tpu.cli.common import save_images, setup_logging
@@ -53,6 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--simple_variant", action="store_true",
                    help="released simplified ckpt: no prior/class embed")
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny-geometry models (CI / CPU smoke runs)")
     return p.parse_args(argv)
 
 
@@ -86,17 +87,28 @@ def main(argv=None):
     from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
     from pcdms_tpu.train.encoders import dino_features
 
-    unet_cfg = stage2_unet_config(with_class_embed=not args.simple_variant)
-    dino_cfg = dinov2_giant_config()
+    vae_cfg = None
+    proj_kwargs, pose_kwargs = {}, {}
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        tiny = tiny_configs()
+        unet_cfg = tiny.unet2(with_class_embed=not args.simple_variant)
+        dino_cfg, vae_cfg = tiny.dino, tiny.vae
+        proj_kwargs, pose_kwargs = tiny.image_proj_kwargs, \
+            tiny.pose_proj_kwargs
+    else:
+        unet_cfg = stage2_unet_config(
+            with_class_embed=not args.simple_variant)
+        dino_cfg = dinov2_giant_config()
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 5)
 
     if args.random_init:
         params = {
             "unet": unet_init(ks[0], unet_cfg),
-            "image_proj": image_proj_mlp_init(ks[1]),
-            "pose_proj": pose_cond_embedding_init(ks[2]),
-            "vae": vae_init(ks[3]),
+            "image_proj": image_proj_mlp_init(ks[1], **proj_kwargs),
+            "pose_proj": pose_cond_embedding_init(ks[2], **pose_kwargs),
+            "vae": vae_init(ks[3], vae_cfg) if vae_cfg else vae_init(ks[3]),
         }
         dino = vit_init(ks[4], dino_cfg)
     else:
@@ -117,13 +129,19 @@ def main(argv=None):
         # oracle-conditioned upper bound: GT target CLIP embeddings
         # (stage2_batchtest_inpaint_model.py:176-185)
         from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
-        clip_cfg = clip_vit_h14_config()
+        clip_cfg = tiny.clip if args.tiny_config else clip_vit_h14_config()
         if args.random_init:
             clip_params = vit_init(jax.random.PRNGKey(args.seed), clip_cfg)
         else:
             from pcdms_tpu.compat.load import load_clip_vision
             clip_params = load_clip_vision(args.image_encoder_g_path)
         logger.info("train-mode conditioning: GT CLIP embeddings")
+
+    from pcdms_tpu.cli.common import default_mesh
+    from pcdms_tpu.parallel.mesh import pad_and_shard
+    mesh = default_mesh()
+    logger.info("inference sharded over %d device(s): %s",
+                mesh.devices.size, mesh.devices.ravel().tolist())
 
     t0 = time.time()
     items = pairs.pairs
@@ -145,36 +163,51 @@ def main(argv=None):
             to_neg1_1(make_side_by_side(sp, tp))
             for sp, tp in zip(s_poses, t_poses)])
         s_pix = np.stack([clip_preprocess(s) for s in s_imgs])
-        feats = dino_features(dino, jnp.asarray(s_pix), cfg=dino_cfg)
 
+        t_pix = emb_np = None
         if args.simple_variant:
-            embeds = None
+            pass
         elif train_mode:
-            from pcdms_tpu.train.encoders import clip_image_embed
             t_pix = np.stack([clip_preprocess(t) for t in t_imgs])
-            embeds = clip_image_embed(clip_params, jnp.asarray(t_pix),
-                                      cfg=clip_cfg)[:, None, :]
         elif args.prior_embeds_dir:
-            embeds = []
+            emb_np = []
             for item in chunk:
                 s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
                 t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
-                embeds.append(np.load(os.path.join(
+                emb_np.append(np.load(os.path.join(
                     args.prior_embeds_dir, f"{s}_to_{t}.npy")).reshape(1, -1))
-            embeds = jnp.asarray(np.stack(embeds))
+            emb_np = np.stack(emb_np)
         else:
             raise SystemExit("need --prior_embeds_dir or --simple_variant "
                              "(or a train-mode json with CLIP weights)")
 
+        canvas, pose_canvas, s_pix, t_pix, emb_np, n = pad_and_shard(
+            mesh, canvas, pose_canvas, s_pix, t_pix, emb_np)
+        feats = dino_features(dino, s_pix, cfg=dino_cfg)
+        if t_pix is not None:
+            from pcdms_tpu.train.encoders import clip_image_embed
+            embeds = clip_image_embed(clip_params, t_pix,
+                                      cfg=clip_cfg)[:, None, :]
+        else:
+            embeds = emb_np
+
+        from pcdms_tpu.cli.common import per_item_latents
+        from pcdms_tpu.parallel.mesh import batch_sharding
+        g_idx = [start + min(i, len(chunk) - 1) for i in range(n)]
+        latents = jax.device_put(
+            per_item_latents(args.seed, g_idx, args.num_images_per_prompt,
+                             (args.img_height // 8, args.img_width // 4, 4)),
+            batch_sharding(mesh))
+
+        gen_kwargs = {"vae_cfg": vae_cfg} if vae_cfg is not None else {}
         images = stage2_generate(
-            params, jnp.asarray(canvas), jnp.asarray(pose_canvas), feats,
-            embeds, jax.random.PRNGKey(args.seed + start),
+            params, canvas, pose_canvas, feats,
+            embeds, jax.random.PRNGKey(args.seed + start), latents=latents,
             unet_cfg=unet_cfg, num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, scheduler=args.scheduler,
-            num_samples=args.num_images_per_prompt)
+            num_samples=args.num_images_per_prompt, **gen_kwargs)
         images = np.asarray(images)
 
-        n = len(chunk)
         w = args.img_width
         for i, item in enumerate(chunk):
             cands = images[i::n][:, :, w:, :]       # right halves

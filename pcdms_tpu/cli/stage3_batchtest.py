@@ -14,7 +14,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pcdms_tpu.cli.common import save_images, setup_logging
@@ -42,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny-geometry models (CI / CPU smoke runs)")
     p.add_argument("--grid_output", action="store_true",
                    help="also save [source | gen | refined | GT] grids "
                         "(stage3_batchtest_refined_model.py:190-209)")
@@ -63,16 +64,24 @@ def main(argv=None):
     from pcdms_tpu.pipelines.stage3_refine import stage3_generate
     from pcdms_tpu.train.encoders import dino_features
 
-    unet_cfg = stage3_unet_config()
-    dino_cfg = dinov2_giant_config()
+    vae_cfg = None
+    proj_kwargs = {}
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        tiny = tiny_configs()
+        unet_cfg, dino_cfg, vae_cfg = tiny.unet3, tiny.dino, tiny.vae
+        proj_kwargs = tiny.image_proj_kwargs
+    else:
+        unet_cfg = stage3_unet_config()
+        dino_cfg = dinov2_giant_config()
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 4)
 
     if args.random_init:
         params = {
             "unet": unet_init(ks[0], unet_cfg),
-            "image_proj": image_proj_mlp_init(ks[1]),
-            "vae": vae_init(ks[2]),
+            "image_proj": image_proj_mlp_init(ks[1], **proj_kwargs),
+            "vae": vae_init(ks[2], vae_cfg) if vae_cfg else vae_init(ks[2]),
         }
         dino = vit_init(ks[3], dino_cfg)
     else:
@@ -89,29 +98,45 @@ def main(argv=None):
                            size=(args.img_width, args.img_height))
     size = (args.img_width, args.img_height)
 
+    from pcdms_tpu.cli.common import default_mesh
+    from pcdms_tpu.parallel.mesh import pad_and_shard
+    mesh = default_mesh()
+    logger.info("inference sharded over %d device(s): %s",
+                mesh.devices.size, mesh.devices.ravel().tolist())
+
     t0 = time.time()
     items = pairs.pairs
     bs = args.batch_size
     for start in range(0, len(items), bs):
         chunk = items[start:start + bs]
-        gen_imgs = np.stack([
+        host_gen = np.stack([
             to_neg1_1(load_image(helper.gen_path(i), size)) for i in chunk])
         gt_imgs = [to_neg1_1(load_image(pairs.image_path(i["target_image"]),
                                         size)) for i in chunk]
         s_pix = np.stack([
             clip_preprocess(load_image(pairs.image_path(i["source_image"]),
                                        size)) for i in chunk])
-        feats = dino_features(dino, jnp.asarray(s_pix), cfg=dino_cfg)
+        gen_imgs, s_pix, n = pad_and_shard(mesh, host_gen, s_pix)
+        feats = dino_features(dino, s_pix, cfg=dino_cfg)
 
+        from pcdms_tpu.cli.common import per_item_latents
+        from pcdms_tpu.parallel.mesh import batch_sharding
+        g_idx = [start + min(i, len(chunk) - 1) for i in range(n)]
+        latents = jax.device_put(
+            per_item_latents(args.seed, g_idx, args.num_images_per_prompt,
+                             (args.img_height // 8, args.img_width // 8, 4)),
+            batch_sharding(mesh))
+
+        gen_kwargs = {"vae_cfg": vae_cfg} if vae_cfg is not None else {}
         images = stage3_generate(
-            params, jnp.asarray(gen_imgs), feats,
-            jax.random.PRNGKey(args.seed + start), unet_cfg=unet_cfg,
+            params, gen_imgs, feats,
+            jax.random.PRNGKey(args.seed + start), latents=latents,
+            unet_cfg=unet_cfg,
             num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, scheduler=args.scheduler,
-            num_samples=args.num_images_per_prompt)
+            num_samples=args.num_images_per_prompt, **gen_kwargs)
         images = np.asarray(images)
 
-        n = len(chunk)
         for i, item in enumerate(chunk):
             cands = images[i::n]
             best = best_of_n_ssim(cands, gt_imgs[i])
@@ -123,7 +148,7 @@ def main(argv=None):
                 src_img = to_neg1_1(load_image(
                     pairs.image_path(item["source_image"]), size))
                 grid = np.concatenate(
-                    [src_img, gen_imgs[i], cands[best], gt_imgs[i]], axis=1)
+                    [src_img, host_gen[i], cands[best], gt_imgs[i]], axis=1)
                 save_images(grid[None],
                             [os.path.join(args.save_path,
                                           f"grid_{s}_to_{t}.png")])

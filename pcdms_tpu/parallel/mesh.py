@@ -56,3 +56,34 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Place a host batch onto the mesh, sharded along the batch axis."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_and_shard(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """Pad each array's leading (batch) dim up to a multiple of the mesh
+    size — repeating the final element, so padded rows compute valid (if
+    redundant) results — and place it on the mesh sharded along the batch
+    axis. ``None`` entries pass through unchanged. All non-None arrays must
+    share the leading dim.
+
+    This is the SPMD replacement for the reference's one-process-per-GPU
+    inference fan-out (stage1_batchtest_prior_model.py:155-177): a ragged
+    final chunk still runs on every device. Returns
+    ``(*sharded_arrays, padded_n)``.
+    """
+    import numpy as np
+
+    n_dev = mesh.devices.size
+    n = next(a for a in arrays if a is not None).shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    sharding = batch_sharding(mesh, axis_name)
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        a = np.asarray(a)
+        if n_pad != n:
+            a = np.concatenate(
+                [a, np.repeat(a[-1:], n_pad - n, axis=0)], axis=0)
+        out.append(jax.device_put(a, sharding))
+    return (*out, n_pad)
