@@ -107,18 +107,21 @@ def draw_handpose(canvas: np.ndarray,
     for peaks in hands:
         peaks = np.asarray(peaks, np.float32)
         for ie, (a, b) in enumerate(HAND_EDGES):
-            x1, y1 = peaks[a]
-            x2, y2 = peaks[b]
+            # the visibility check is on the SCALED INT pixel coords (so an
+            # edge touching column/row 0 is skipped), and the color is the
+            # unrounded float hsv->rgb*255 — both exactly as the drawing
+            # code stage-2 was trained on (dwpose/util.py:115-133)
+            x1, y1 = int(peaks[a, 0] * w), int(peaks[a, 1] * h)
+            x2, y2 = int(peaks[b, 0] * w), int(peaks[b, 1] * h)
             if min(x1, y1, x2, y2) <= EPS:
                 continue
             hue = ie / float(n_edges)
             rgb = _hsv_to_rgb(hue, 1.0, 1.0)
-            cv2.line(canvas, (int(x1 * w), int(y1 * h)),
-                     (int(x2 * w), int(y2 * h)), rgb, thickness=1)
+            cv2.line(canvas, (x1, y1), (x2, y2), rgb, thickness=1)
         for x, y in peaks:
+            x, y = int(x * w), int(y * h)
             if x > EPS and y > EPS:
-                cv2.circle(canvas, (int(x * w), int(y * h)), 1, (0, 0, 255),
-                           thickness=-1)
+                cv2.circle(canvas, (x, y), 1, (0, 0, 255), thickness=-1)
     return canvas
 
 
@@ -128,7 +131,7 @@ def _hsv_to_rgb(h, s, v):
     p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
     rgb = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v),
            (v, p, q)][i]
-    return tuple(int(c * 255) for c in rgb)
+    return tuple(c * 255.0 for c in rgb)
 
 
 def render_pose(keypoints: np.ndarray, height: int, width: int,
