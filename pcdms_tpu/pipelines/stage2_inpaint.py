@@ -84,7 +84,11 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
     """
     schedule = sd21_schedule()
     cparams = cast_pytree(params, compute_dtype)
-    use_cfg = guidance_scale > 1.0
+    # LCM-distilled variant: guidance is embedded via timestep_cond and
+    # classifier-free doubling is disabled (PCDMs_pipeline.py:875-877,
+    # 1102-1108)
+    lcm_mode = unet_cfg.time_cond_proj_dim is not None
+    use_cfg = guidance_scale > 1.0 and not lcm_mode
 
     b, img_h, img_w, _ = vae_image.shape
     lh, lw = img_h // 8, img_w // 8
@@ -137,6 +141,13 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
     mask_d = mask_d.astype(compute_dtype)
     masked_d = masked_d.astype(compute_dtype)
 
+    timestep_cond = None
+    if lcm_mode:
+        from pcdms_tpu.nn.layers import guidance_scale_embedding
+        timestep_cond = guidance_scale_embedding(
+            jnp.full((n,), guidance_scale, jnp.float32),
+            unet_cfg.time_cond_proj_dim).astype(compute_dtype)
+
     def model_eps(x, t):
         lat = jnp.concatenate([x] * 2, 0) if use_cfg else x
         inp = jnp.concatenate(
@@ -144,6 +155,7 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
         tt = jnp.broadcast_to(t, (inp.shape[0],))
         eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f,
                          class_labels=class_labels, pose_cond=pose_cond,
+                         timestep_cond=timestep_cond,
                          zero_ctx_prefix=n if use_cfg else 0)
         eps = eps.astype(jnp.float32)
         if use_cfg:
