@@ -58,6 +58,11 @@ def add_common_train_flags(p: argparse.ArgumentParser):
                         "local checkpoints)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 3-6 here")
+    p.add_argument("--cache_embeddings", type=str, default=None,
+                   help="dir for the frozen-encoder embedding cache: "
+                        "precompute CLIP/DINOv2 outputs once per dataset "
+                        "(plus the zero-image dropout row) and train from "
+                        "the cache instead of re-encoding every step")
 
 
 def train_config_from_args(args):

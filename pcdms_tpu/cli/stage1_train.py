@@ -68,36 +68,55 @@ def synthetic_batches(args):
         }
 
 
-def make_batches(args, clip_params):
+def make_batches(args, clip_params, clip_cfg=None):
     if args.synthetic_data:
         yield from synthetic_batches(args)
         return
     from pcdms_tpu.data.datasets import (
         PairList, Stage1Dataset, batch_iterator,
     )
+    from pcdms_tpu.data.preprocess import clip_preprocess, load_image
     from pcdms_tpu.models.vit import clip_vit_h14_config
     from pcdms_tpu.train.encoders import clip_image_embed
 
     pairs = PairList(args.json_path, args.image_root_path).shard(
         jax.process_index(), jax.process_count())
-    dataset = Stage1Dataset(pairs, size=(args.img_width, args.img_height),
+    clip_cfg = clip_cfg or clip_vit_h14_config()
+    size = (args.img_width, args.img_height)
+    use_cache = args.cache_embeddings is not None
+    dataset = Stage1Dataset(pairs, size=size,
                             s_img_drop_rate=args.s_img_drop_rate,
                             s_pose_drop_rate=args.s_pose_drop_rate,
                             t_pose_drop_rate=args.t_pose_drop_rate,
-                            seed=args.seed)
-    clip_cfg = clip_vit_h14_config()
+                            seed=args.seed, embed_refs=use_cache)
+
+    def encode(px):
+        return clip_image_embed(clip_params, jnp.asarray(px), cfg=clip_cfg)
+
+    if use_cache:
+        from pcdms_tpu.train.embed_cache import build_or_load
+        paths = [pairs.image_path(i[k]) for i in pairs.pairs
+                 for k in ("source_image", "target_image")]
+        cache = build_or_load(
+            args.cache_embeddings,
+            f"clip_{args.img_width}x{args.img_height}", encode,
+            lambda p: clip_preprocess(load_image(p, size)), paths,
+            batch_size=args.train_batch_size)
+        for batch in batch_iterator(dataset, args.train_batch_size,
+                                    seed=args.seed):
+            yield {
+                "s_embed": cache.lookup(batch["s_ref"], batch["s_drop"]),
+                "t_embed": cache.lookup(batch["t_ref"], batch["t_drop"]),
+                "s_pose": batch["s_pose"],
+                "t_pose": batch["t_pose"],
+            }
+        return
 
     for batch in batch_iterator(dataset, args.train_batch_size,
                                 seed=args.seed):
-        s_embed = clip_image_embed(clip_params,
-                                   jnp.asarray(batch["clip_s_img"]),
-                                   cfg=clip_cfg)
-        t_embed = clip_image_embed(clip_params,
-                                   jnp.asarray(batch["clip_t_img"]),
-                                   cfg=clip_cfg)
         yield {
-            "s_embed": s_embed,
-            "t_embed": t_embed,
+            "s_embed": encode(batch["clip_s_img"]),
+            "t_embed": encode(batch["clip_t_img"]),
             "s_pose": batch["s_pose"],
             "t_pose": batch["t_pose"],
         }

@@ -127,25 +127,68 @@ def synthetic_batches(args):
         }
 
 
-def make_batches(args, clip_params, dino_params):
-    """Host data iterator + on-device frozen-encoder pass."""
+def make_batches(args, clip_params, dino_params, clip_cfg=None,
+                 dino_cfg=None):
+    """Host data iterator + on-device frozen-encoder pass (or the
+    precomputed embedding cache when --cache_embeddings is set)."""
     if args.synthetic_data:
         yield from synthetic_batches(args)
         return
     from pcdms_tpu.data.datasets import (
         PairList, Stage2Dataset, batch_iterator,
     )
+    from pcdms_tpu.data.preprocess import clip_preprocess, load_image
     from pcdms_tpu.models.vit import clip_vit_h14_config, dinov2_giant_config
     from pcdms_tpu.train.encoders import clip_image_embed, dino_features
 
     pairs = PairList(args.json_path, args.image_root_path).shard(
         jax.process_index(), jax.process_count())
+    use_cache = args.cache_embeddings is not None
     dataset = Stage2Dataset(pairs, size=(args.img_width, args.img_height),
                             imgp_drop_rate=args.imgp_drop_rate,
                             imgg_drop_rate=args.imgg_drop_rate,
-                            seed=args.seed)
-    clip_cfg = clip_vit_h14_config()
-    dino_cfg = dinov2_giant_config()
+                            seed=args.seed, embed_refs=use_cache)
+    clip_cfg = clip_cfg or clip_vit_h14_config()
+    dino_cfg = dino_cfg or dinov2_giant_config()
+    size = (args.img_width, args.img_height)
+
+    if use_cache:
+        import numpy as np
+
+        from pcdms_tpu.train.embed_cache import build_or_load
+
+        def pre(p):
+            return clip_preprocess(load_image(p, size))
+
+        s_paths = [pairs.image_path(i["source_image"]) for i in pairs.pairs]
+        t_paths = [pairs.image_path(i["target_image"]) for i in pairs.pairs]
+        # DINOv2 feature maps are (257, hidden) per image — stored fp16
+        # (~0.8 MB/row at giant scale); the CLIP head rows are tiny
+        dino_cache = build_or_load(
+            args.cache_embeddings,
+            f"dino_{args.img_width}x{args.img_height}",
+            lambda px: np.asarray(dino_features(
+                dino_params, jnp.asarray(px), cfg=dino_cfg)),
+            pre, s_paths, batch_size=args.train_batch_size,
+            store_dtype=np.float16)
+        clip_cache = build_or_load(
+            args.cache_embeddings,
+            f"clip_{args.img_width}x{args.img_height}",
+            lambda px: np.asarray(clip_image_embed(
+                clip_params, jnp.asarray(px), cfg=clip_cfg)),
+            pre, t_paths, batch_size=args.train_batch_size)
+        for batch in batch_iterator(dataset, args.train_batch_size,
+                                    seed=args.seed):
+            yield {
+                "st_image": batch["st_image"],
+                "masked_image": batch["masked_image"],
+                "pose_image": batch["pose_image"],
+                "dino_features": dino_cache.lookup(batch["s_ref"],
+                                                   batch["s_drop"]),
+                "clip_embed": clip_cache.lookup(batch["t_ref"],
+                                                batch["t_drop"])[:, None, :],
+            }
+        return
 
     for batch in batch_iterator(dataset, args.train_batch_size,
                                 seed=args.seed):

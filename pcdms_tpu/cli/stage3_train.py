@@ -79,7 +79,7 @@ def synthetic_batches(args):
         }
 
 
-def make_batches(args, dino_params):
+def make_batches(args, dino_params, dino_cfg=None):
     if args.synthetic_data:
         yield from synthetic_batches(args)
         return
@@ -91,11 +91,35 @@ def make_batches(args, dino_params):
 
     pairs = PairList(args.json_path, args.image_root_path).shard(
         jax.process_index(), jax.process_count())
+    use_cache = args.cache_embeddings is not None
     dataset = Stage3Dataset(pairs, args.gen_dir,
                             size=(args.img_width, args.img_height),
                             gen_drop_rate=args.gen_drop_rate,
-                            seed=args.seed)
-    dino_cfg = dinov2_giant_config()
+                            seed=args.seed, embed_refs=use_cache)
+    dino_cfg = dino_cfg or dinov2_giant_config()
+
+    if use_cache:
+        import numpy as np
+
+        from pcdms_tpu.data.preprocess import clip_preprocess, load_image
+        from pcdms_tpu.train.embed_cache import build_or_load
+        size = (args.img_width, args.img_height)
+        dino_cache = build_or_load(
+            args.cache_embeddings,
+            f"dino_{args.img_width}x{args.img_height}",
+            lambda px: np.asarray(dino_features(
+                dino_params, jnp.asarray(px), cfg=dino_cfg)),
+            lambda p: clip_preprocess(load_image(p, size)),
+            [pairs.image_path(i["source_image"]) for i in pairs.pairs],
+            batch_size=args.train_batch_size, store_dtype=np.float16)
+        for batch in batch_iterator(dataset, args.train_batch_size,
+                                    seed=args.seed):
+            yield {
+                "target_image": batch["target_image"],
+                "gen_image": batch["gen_image"],
+                "dino_features": dino_cache.lookup(batch["s_ref"]),
+            }
+        return
 
     for batch in batch_iterator(dataset, args.train_batch_size,
                                 seed=args.seed):

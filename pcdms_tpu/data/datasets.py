@@ -74,37 +74,52 @@ class PairList:
 class Stage1Dataset:
     def __init__(self, pairs: PairList, size=(512, 512),
                  s_img_drop_rate=0.0, t_img_drop_rate=0.0,
-                 s_pose_drop_rate=0.0, t_pose_drop_rate=0.0, seed=0):
+                 s_pose_drop_rate=0.0, t_pose_drop_rate=0.0, seed=0,
+                 embed_refs: bool = False):
+        """embed_refs=True: yield image *paths* + dropout flags instead of
+        preprocessed pixels (for the frozen-encoder embedding cache,
+        train/embed_cache.py) — skips image decode entirely. Dropout RNG
+        draw order is identical in both modes."""
         self.pairs = pairs
         self.size = size
         self.drop = (s_img_drop_rate, t_img_drop_rate,
                      s_pose_drop_rate, t_pose_drop_rate)
         self.rng = np.random.default_rng(seed)
+        self.embed_refs = embed_refs
 
     def __len__(self):
         return len(self.pairs)
 
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         item = self.pairs.pairs[idx]
-        s_img = load_image(self.pairs.image_path(item["source_image"]),
-                           self.size)
-        t_img = load_image(self.pairs.image_path(item["target_image"]),
-                           self.size)
         s_pose = read_pose_txt(self.pairs.pose_txt_path(item["source_image"]))
         t_pose = read_pose_txt(self.pairs.pose_txt_path(item["target_image"]))
 
-        clip_s = clip_preprocess(s_img)
-        clip_t = clip_preprocess(t_img)
-
         dr = self.drop
-        if self.rng.random() < dr[0]:
-            clip_s = np.zeros_like(clip_s)
-        if self.rng.random() < dr[1]:
-            clip_t = np.zeros_like(clip_t)
+        s_drop = self.rng.random() < dr[0]
+        t_drop = self.rng.random() < dr[1]
         if self.rng.random() < dr[2]:
             s_pose = np.zeros_like(s_pose)
         if self.rng.random() < dr[3]:
             t_pose = np.zeros_like(t_pose)
+
+        if self.embed_refs:
+            return {"s_ref": self.pairs.image_path(item["source_image"]),
+                    "t_ref": self.pairs.image_path(item["target_image"]),
+                    "s_drop": np.float32(s_drop),
+                    "t_drop": np.float32(t_drop),
+                    "s_pose": s_pose, "t_pose": t_pose}
+
+        s_img = load_image(self.pairs.image_path(item["source_image"]),
+                           self.size)
+        t_img = load_image(self.pairs.image_path(item["target_image"]),
+                           self.size)
+        clip_s = clip_preprocess(s_img)
+        clip_t = clip_preprocess(t_img)
+        if s_drop:
+            clip_s = np.zeros_like(clip_s)
+        if t_drop:
+            clip_t = np.zeros_like(clip_t)
 
         return {"clip_s_img": clip_s, "clip_t_img": clip_t,
                 "s_pose": s_pose, "t_pose": t_pose}
@@ -112,12 +127,18 @@ class Stage1Dataset:
 
 class Stage2Dataset:
     def __init__(self, pairs: PairList, size=(512, 512),
-                 imgp_drop_rate=0.0, imgg_drop_rate=0.0, seed=0):
+                 imgp_drop_rate=0.0, imgg_drop_rate=0.0, seed=0,
+                 embed_refs: bool = False):
+        """embed_refs=True: yield the DINOv2/CLIP branch inputs as image
+        *paths* + dropout flags (for train/embed_cache.py) instead of
+        preprocessed pixels; the canvases are still built. Dropout RNG
+        draw order is identical in both modes."""
         self.pairs = pairs
         self.size = size
         self.imgp_drop_rate = imgp_drop_rate
         self.imgg_drop_rate = imgg_drop_rate
         self.rng = np.random.default_rng(seed)
+        self.embed_refs = embed_refs
 
     def __len__(self):
         return len(self.pairs)
@@ -137,30 +158,42 @@ class Stage2Dataset:
         st_img = make_side_by_side(s_img, t_img)
         st_pose = make_side_by_side(s_pose, t_pose)
 
-        clip_s = clip_preprocess(s_img)   # DINOv2 branch
-        clip_t = clip_preprocess(t_img)   # CLIP-global branch
-        if self.rng.random() < self.imgp_drop_rate:
-            clip_s = np.zeros_like(clip_s)
-        if self.rng.random() < self.imgg_drop_rate:
-            clip_t = np.zeros_like(clip_t)
-
-        return {
-            "clip_s_img": clip_s,
-            "clip_t_img": clip_t,
+        out = {
             "st_image": to_neg1_1(st_img),
             "masked_image": to_neg1_1(masked),
             "pose_image": to_neg1_1(st_pose),
         }
 
+        s_drop = self.rng.random() < self.imgp_drop_rate
+        t_drop = self.rng.random() < self.imgg_drop_rate
+        if self.embed_refs:
+            out.update({
+                "s_ref": self.pairs.image_path(item["source_image"]),
+                "t_ref": self.pairs.image_path(item["target_image"]),
+                "s_drop": np.float32(s_drop),
+                "t_drop": np.float32(t_drop),
+            })
+            return out
+
+        clip_s = clip_preprocess(s_img)   # DINOv2 branch
+        clip_t = clip_preprocess(t_img)   # CLIP-global branch
+        if s_drop:
+            clip_s = np.zeros_like(clip_s)
+        if t_drop:
+            clip_t = np.zeros_like(clip_t)
+        out.update({"clip_s_img": clip_s, "clip_t_img": clip_t})
+        return out
+
 
 class Stage3Dataset:
     def __init__(self, pairs: PairList, gen_dir: str, size=(512, 512),
-                 gen_drop_rate=0.0, seed=0):
+                 gen_drop_rate=0.0, seed=0, embed_refs: bool = False):
         self.pairs = pairs
         self.gen_dir = gen_dir
         self.size = size
         self.gen_drop_rate = gen_drop_rate
         self.rng = np.random.default_rng(seed)
+        self.embed_refs = embed_refs
 
     def __len__(self):
         return len(self.pairs)
@@ -178,16 +211,16 @@ class Stage3Dataset:
                            self.size)
         gen_img = load_image(self.gen_path(item), self.size)
 
-        clip_s = clip_preprocess(s_img)
         gen = to_neg1_1(gen_img)
         if self.rng.random() < self.gen_drop_rate:
             gen = np.zeros_like(gen)
 
-        return {
-            "clip_s_img": clip_s,
-            "target_image": to_neg1_1(t_img),
-            "gen_image": gen,
-        }
+        out = {"target_image": to_neg1_1(t_img), "gen_image": gen}
+        if self.embed_refs:
+            out["s_ref"] = self.pairs.image_path(item["source_image"])
+        else:
+            out["clip_s_img"] = clip_preprocess(s_img)
+        return out
 
 
 def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
