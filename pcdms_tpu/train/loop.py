@@ -71,6 +71,12 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
         examples_since_log += len(jax.tree.leaves(batch)[0])
 
         if step % log_every == 0 or step == start_step + 1:
+            # float() on the device scalar is the synchronization point:
+            # it cannot resolve until every dispatched step in the state
+            # dependency chain has finished, so the examples/s window below
+            # spans fully-executed steps — same checksum-read discipline as
+            # bench.py (block_until_ready is a no-op under some transports,
+            # e.g. the remote-TPU tunnel; never rely on it for timing).
             loss = float(metrics["loss"])
             dt = time.perf_counter() - t_last
             ips = examples_since_log / max(dt, 1e-9)
