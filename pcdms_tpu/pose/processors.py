@@ -31,6 +31,15 @@ _NN_DETECTORS = (
     "softedge_pidinet", "softedge_pidsafe", "mediapipe_face", "sam",
 )
 
+# detectors with JAX-native architectures + converters in
+# pcdms_tpu/pose/detectors/ — runnable once their torch checkpoint is
+# supplied via params={'weights': ...}
+_IMPLEMENTED_NN = (
+    "hed", "hed_safe", "scribble_hed", "softedge_hed", "softedge_hedsafe",
+    "scribble_pidinet", "softedge_pidinet", "softedge_pidsafe",
+    "lineart_realistic", "lineart_coarse", "lineart_anime", "mlsd",
+)
+
 
 def _to_np(img) -> np.ndarray:
     if isinstance(img, Image.Image):
@@ -99,6 +108,8 @@ class Processor:
             return run
         if pid in ("none", "resize"):
             return _to_np
+        if pid in _IMPLEMENTED_NN:
+            return self._resolve_nn(pid)
         if pid in _NN_DETECTORS:
             raise NotImplementedError(
                 f"processor '{pid}' needs pretrained torch weights that are "
@@ -106,6 +117,54 @@ class Processor:
                 "pipelines only use 'dwpose' (host-side). Supply weights "
                 "and extend pcdms_tpu/pose/processors.py to enable it.")
         raise ValueError(f"unknown processor: {pid}")
+
+    def _resolve_nn(self, pid: str) -> Callable:
+        """Detectors with JAX-native models (pcdms_tpu.pose.detectors).
+
+        The architectures + converters are implemented and parity-tested;
+        the pretrained checkpoint must be supplied via
+        ``params['weights']`` (no network egress in this environment).
+        """
+        weights = self.params.get("weights")
+        if not weights:
+            raise NotImplementedError(
+                f"processor '{pid}' is implemented "
+                "(pcdms_tpu/pose/detectors/) but needs its pretrained "
+                "checkpoint: pass params={'weights': '/path/to/ckpt.pth'}"
+                + (" (+ 'coarse_weights')" if pid == "lineart_coarse"
+                   else ""))
+        from pcdms_tpu.pose import detectors as det
+        if pid in ("hed", "softedge_hed", "scribble_hed", "hed_safe",
+                   "softedge_hedsafe"):
+            d = det.HEDdetector.from_pretrained(weights)
+            safe = "safe" in pid
+            scrib = pid.startswith("scribble")
+            return lambda img, **kw: d(img, safe=kw.pop("safe", safe),
+                                       scribble=kw.pop("scribble", scrib),
+                                       **kw)
+        if pid in ("softedge_pidinet", "scribble_pidinet",
+                   "softedge_pidsafe"):
+            d = det.PidiNetDetector.from_pretrained(weights)
+            safe = "safe" in pid
+            scrib = pid.startswith("scribble")
+            return lambda img, **kw: d(img, safe=kw.pop("safe", safe),
+                                       scribble=kw.pop("scribble", scrib),
+                                       **kw)
+        if pid in ("lineart_realistic", "lineart_coarse"):
+            d = det.LineartDetector.from_pretrained(
+                weights if pid == "lineart_realistic" else None,
+                self.params.get("coarse_weights",
+                                weights if pid == "lineart_coarse"
+                                else None))
+            return lambda img, **kw: d(
+                img, coarse=kw.pop("coarse", pid == "lineart_coarse"), **kw)
+        if pid == "lineart_anime":
+            d = det.LineartAnimeDetector.from_pretrained(weights)
+            return lambda img, **kw: d(img, **kw)
+        if pid == "mlsd":
+            d = det.MLSDdetector.from_pretrained(weights)
+            return lambda img, **kw: d(img, **kw)
+        raise ValueError(f"unhandled NN processor: {pid}")
 
     def __call__(self, image, to_pil: bool = True):
         out = self._fn(image, **{k: v for k, v in self.params.items()
