@@ -42,6 +42,25 @@ def attention_init(key, query_dim: int, heads: int, head_dim: int,
     }
 
 
+def _fused_proj(plist, x):
+    """Apply several Linear layers sharing the same input as ONE matmul.
+
+    The param pytree keeps separate to_q/to_k/to_v entries (checkpoint
+    parity with the reference's diffusers layout), but at apply time the
+    kernels are concatenated along the output dim — the reference's
+    ``fuse_qkv_projections`` (/root/reference/src/pipelines/PCDMs_pipeline.py:771-830)
+    done the XLA way: the concat of loop-invariant params is hoisted out
+    of the sampling scan, and the single (C, k*inner) matmul fills the
+    MXU better than k separate (C, inner) matmuls.
+    """
+    kernel = jnp.concatenate([p["kernel"] for p in plist], axis=1)
+    y = x @ kernel.astype(x.dtype)
+    if "bias" in plist[0]:
+        bias = jnp.concatenate([p["bias"] for p in plist], axis=0)
+        y = y + bias.astype(x.dtype)
+    return jnp.split(y, len(plist), axis=-1)
+
+
 def attention_apply(params, x, context=None, *, heads: int,
                     use_flash: bool = True):
     """x: (B, Lq, C); context: (B, Lk, Cctx) or None for self-attention."""
@@ -49,9 +68,20 @@ def attention_apply(params, x, context=None, *, heads: int,
     b, lq, _ = x.shape
     lk = ctx.shape[1]
 
-    q = linear_apply(params["to_q"], x)
-    k = linear_apply(params["to_k"], ctx)
-    v = linear_apply(params["to_v"], ctx)
+    # fused projections need uniform bias-ness (always true here: q/k/v
+    # share the qkv_bias flag at init and in every converted checkpoint)
+    fuse = (("bias" in params["to_q"]) == ("bias" in params["to_k"])
+            == ("bias" in params["to_v"]))
+    if context is None and fuse:
+        q, k, v = _fused_proj(
+            [params["to_q"], params["to_k"], params["to_v"]], x)
+    elif fuse:
+        q = linear_apply(params["to_q"], x)
+        k, v = _fused_proj([params["to_k"], params["to_v"]], ctx)
+    else:
+        q = linear_apply(params["to_q"], x)
+        k = linear_apply(params["to_k"], ctx)
+        v = linear_apply(params["to_v"], ctx)
 
     if use_flash:
         head_dim = q.shape[-1] // heads

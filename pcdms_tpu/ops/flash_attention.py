@@ -38,6 +38,13 @@ _NEG_INF = -1e30
 # north-star bench), so XLA stays the default. Flip with
 # PCDMS_SHORTKV=pallas.
 _SHORTKV_PALLAS = os.environ.get("PCDMS_SHORTKV", "xla") == "pallas"
+# bf16 softmax lever: the kernel is VPU-bound (row max + subtract + exp2
+# over the (block_q, block_k) score tile dominate; the two MXU matmuls
+# are ~5us/step vs ~8us of f32 VPU work). Running those elementwise ops
+# in bf16 doubles VPU rate and drops the p cast before the PV matmul,
+# at the cost of ~2^-8 relative noise in softmax weights (the weights
+# are consumed in bf16 by the MXU anyway). A/B via PCDMS_EXP_BF16.
+_EXP_BF16 = os.environ.get("PCDMS_EXP_BF16", "0") == "1"
 
 
 def attention_reference(q, k, v, scale=None):
@@ -56,7 +63,7 @@ _LOG2E = 1.4426950408889634
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
                   m_ref, acc_ref,
                   *, scale: float, kv_len: int, block_k: int,
-                  head_dim: int, masked: bool):
+                  head_dim: int, masked: bool, exp_bf16: bool):
     """Online-softmax block step, exp2 domain.
 
     Two MXU tricks vs the textbook formulation:
@@ -91,10 +98,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:, 0:1]                                # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)            # (bq, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)                      # (bq, 1)
-    p = jnp.exp2(s - m_new)                               # (bq, bk)
+    if exp_bf16:
+        # VPU-bound path in half precision: max/subtract/exp2 over the
+        # (bq, bk) tile run at 2x VPU rate, and p lands in bf16 already
+        # (it is consumed in bf16 by the PV matmul either way). The
+        # running max stays f32 in scratch; only the per-tile elementwise
+        # work is demoted. exp2 argument is <= 0 so no overflow.
+        sb = s.astype(jnp.bfloat16)                       # (bq, bk)
+        m_cur = jnp.max(sb, axis=-1, keepdims=True).astype(jnp.float32)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)                  # (bq, 1)
+        p = jnp.exp2(sb - m_new.astype(jnp.bfloat16))     # (bq, bk) bf16
+    else:
+        m_cur = jnp.max(s, axis=-1, keepdims=True)        # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)                  # (bq, 1)
+        p = jnp.exp2(s - m_new)                           # (bq, bk)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -115,9 +134,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "exp_bf16"))
 def _flash_attention_3d(q, k, v, scale: float,
-                        block_q: int, block_k: int, interpret: bool):
+                        block_q: int, block_k: int, interpret: bool,
+                        exp_bf16: bool = False):
     """q: (BH, Lq, D), k/v: (BH, Lk, D)."""
     bh, lq, d = q.shape
     kv_len = k.shape[1]
@@ -143,7 +163,7 @@ def _flash_attention_3d(q, k, v, scale: float,
     grid = (bh, lq_pad // block_q, lk_pad // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
                                block_k=block_k, head_dim=d,
-                               masked=masked_pad)
+                               masked=masked_pad, exp_bf16=exp_bf16)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -258,16 +278,20 @@ def _shortkv_attention_3d(q, k, v, scale: float, block_q: int,
 _BWD_CHUNK = 256
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_3d_diff(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_3d_diff(q, k, v, scale, block_q, block_k, interpret,
+                   exp_bf16=False):
+    return _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret,
+                               exp_bf16=exp_bf16)
 
 
 def _use_pallas_bwd() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret):
+def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret, exp_bf16):
+    # training path (forward-with-LSE + Pallas backward) stays f32: the
+    # bf16-softmax lever is an inference-throughput trade only
     if _use_pallas_bwd():
         from pcdms_tpu.ops.flash_attention_bwd import flash_fwd_lse
         out, l2 = flash_fwd_lse(q, k, v, scale, block_q, block_k, interpret)
@@ -278,7 +302,7 @@ def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret):
     return out, (q, k, v, out, l2)
 
 
-def _flash_3d_bwd(scale, block_q, block_k, interpret, res, do):
+def _flash_3d_bwd(scale, block_q, block_k, interpret, exp_bf16, res, do):
     q, k, v, out, l2 = res
     if l2 is not None:
         from pcdms_tpu.ops.flash_attention_bwd import flash_bwd
@@ -395,7 +419,7 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
     k3 = k.reshape(b * h, lk, d)
     v3 = v.reshape(b * h, lk, d)
     out = _flash_3d_diff(q3, k3, v3, float(scale), block_q, block_k,
-                         interpret)
+                         interpret, _EXP_BF16)
     return out.reshape(b, h, lq, d)
 
 

@@ -131,14 +131,20 @@ def main():
         bh, l, d = B * 5, 8192, 64
         q = jax.random.normal(key, (bh, l, d), jnp.bfloat16)
         fl = 4 * bh * l * l * d
-        for bq, bk in ((1024, 2048), (1024, 1024), (2048, 1024),
-                       (512, 4096), (1024, 4096)):
-            def f(x, bq=bq, bk=bk):
-                return _flash_attention_3d(x, x, x, 0.125, bq, bk, False)
+        for bq, bk, xb in ((1024, 2048, False), (1024, 2048, True),
+                           (1024, 1024, False), (2048, 1024, False),
+                           (512, 4096, False), (1024, 4096, False),
+                           (2048, 2048, True), (512, 2048, True),
+                           (1024, 1024, True), (1024, 4096, True),
+                           (2048, 4096, True), (512, 1024, True)):
+            def f(x, bq=bq, bk=bk, xb=xb):
+                return _flash_attention_3d(x, x, x, 0.125, bq, bk, False,
+                                           exp_bf16=xb)
+            tag = " bf16exp" if xb else ""
             try:
-                time_scan(f"flash bq{bq} bk{bk}", f, q, 8, flops=fl)
+                time_scan(f"flash bq{bq} bk{bk}{tag}", f, q, 8, flops=fl)
             except Exception as e:  # VMEM overflow etc.
-                print(f"flash bq{bq} bk{bk}: FAILED {type(e).__name__}",
+                print(f"flash bq{bq} bk{bk}{tag}: FAILED {type(e).__name__}",
                       flush=True)
 
     if "ln" in PARTS:

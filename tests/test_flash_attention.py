@@ -44,6 +44,34 @@ def test_kernel_bf16(
                                np.asarray(expected), atol=3e-2, rtol=3e-2)
 
 
+def test_exp_bf16_path_matches_reference():
+    """The bf16-softmax throughput lever (PCDMS_EXP_BF16) stays within
+    bf16 rounding of the exact softmax: the score tile is demoted to
+    bf16 before max/exp2, which perturbs attention weights by ~2^-8
+    relative — the same order as the bf16 PV matmul input cast."""
+    from pcdms_tpu.ops.flash_attention import _flash_3d_diff
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    bh, lq, lk, d = 4, 256, 256, 64
+    q = jax.random.normal(kq, (bh, lq, d), jnp.float32)
+    k = jax.random.normal(kk, (bh, lk, d), jnp.float32)
+    v = jax.random.normal(kv, (bh, lk, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    expected = attention_reference(q[:, None], k[:, None], v[:, None],
+                                   scale)[:, 0]
+    got = _flash_3d_diff(q, k, v, float(scale), 128, 128, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-2, rtol=2e-2)
+    # masked / ragged kv under bf16 softmax still exact-zero beyond kv_len
+    got_ragged = _flash_3d_diff(q, k[:, :200], v[:, :200], float(scale),
+                                128, 128, True, True)
+    exp_ragged = attention_reference(q[:, None], k[:, None, :200],
+                                     v[:, None, :200], scale)[:, 0]
+    np.testing.assert_allclose(np.asarray(got_ragged),
+                               np.asarray(exp_ragged), atol=2e-2, rtol=2e-2)
+
+
 def test_softmax_stability_large_logits():
     q = jnp.full((1, 1, 128, 64), 8.0, jnp.float32)
     k = jnp.full((1, 1, 128, 64), 8.0, jnp.float32)
