@@ -44,7 +44,15 @@ _SHORTKV_PALLAS = os.environ.get("PCDMS_SHORTKV", "xla") == "pallas"
 # in bf16 doubles VPU rate and drops the p cast before the PV matmul,
 # at the cost of ~2^-8 relative noise in softmax weights (the weights
 # are consumed in bf16 by the MXU anyway). A/B via PCDMS_EXP_BF16.
+# (Measured a wash on v5e — the VPU runs bf16 elementwise at f32 rate.)
 _EXP_BF16 = os.environ.get("PCDMS_EXP_BF16", "0") == "1"
+# frozen-max softmax (see _flash_kernel_frozen): strips the cross-lane
+# max reduce + running-max/alpha-rescale chain from the VPU-bound inner
+# loop. Exact up to fp rounding; kill switch for A/B.
+_FROZEN_MAX = os.environ.get("PCDMS_FROZEN_MAX", "1") == "1"
+# independent q sub-tiles per kernel step (k/v tile reuse + MXU/VPU
+# overlap across chains); measured +3% at (1024, 2048) on v5e.
+_Q_UNROLL = int(os.environ.get("PCDMS_Q_UNROLL", "2"))
 
 
 def attention_reference(q, k, v, scale=None):
@@ -63,7 +71,8 @@ _LOG2E = 1.4426950408889634
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
                   m_ref, acc_ref,
                   *, scale: float, kv_len: int, block_k: int,
-                  head_dim: int, masked: bool, exp_bf16: bool):
+                  head_dim: int, masked: bool, exp_bf16: bool,
+                  q_unroll: int = 1):
     """Online-softmax block step, exp2 domain.
 
     Two MXU tricks vs the textbook formulation:
@@ -74,6 +83,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         in that column for free (the MXU tile is 128 lanes wide whether
         or not d=64 uses them), and the accumulator's alpha-rescale
         carries the denominator with no separate l bookkeeping.
+
+    ``q_unroll`` > 1 processes that many INDEPENDENT q sub-tiles per grid
+    step against the same k/v block: their QK->softmax->PV chains share
+    no data, so Mosaic can overlap one tile's VPU softmax with another's
+    MXU matmuls (the serial chain is what holds the single-tile kernel at
+    ~65 of the ~131 TF/s mixed ceiling), and the k/v tile is fetched once
+    for all sub-tiles.
     """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -83,44 +99,103 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # (bq, d), pre-scaled into the exp2 domain
-    q = q_ref[0] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
     k = k_ref[0]                                     # (bk, d)
     v = v_ref[0]                                     # (bk, d_aug)
+    bq = q_ref.shape[1] // q_unroll
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                # (bq, bk) f32
+    for ui in range(q_unroll):
+        rows = slice(ui * bq, (ui + 1) * bq)
+        # (bq, d), pre-scaled into the exp2 domain
+        q = q_ref[0, rows, :] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
 
-    if masked:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (bq, bk) f32
 
-    m_prev = m_ref[:, 0:1]                                # (bq, 1)
-    if exp_bf16:
-        # VPU-bound path in half precision: max/subtract/exp2 over the
-        # (bq, bk) tile run at 2x VPU rate, and p lands in bf16 already
-        # (it is consumed in bf16 by the PV matmul either way). The
-        # running max stays f32 in scratch; only the per-tile elementwise
-        # work is demoted. exp2 argument is <= 0 so no overflow.
-        sb = s.astype(jnp.bfloat16)                       # (bq, bk)
-        m_cur = jnp.max(sb, axis=-1, keepdims=True).astype(jnp.float32)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)                  # (bq, 1)
-        p = jnp.exp2(sb - m_new.astype(jnp.bfloat16))     # (bq, bk) bf16
-    else:
-        m_cur = jnp.max(s, axis=-1, keepdims=True)        # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)                  # (bq, 1)
-        p = jnp.exp2(s - m_new)                           # (bq, bk)
+        if masked:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + j * block_k)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                     # (bq, d_aug)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        m_prev = m_ref[rows, 0:1]                             # (bq, 1)
+        if exp_bf16:
+            # VPU-bound path in half precision: max/subtract/exp2 over the
+            # (bq, bk) tile run at 2x VPU rate, and p lands in bf16 already
+            # (it is consumed in bf16 by the PV matmul either way). The
+            # running max stays f32 in scratch; only the per-tile
+            # elementwise work is demoted. exp2 argument is <= 0 so no
+            # overflow.
+            sb = s.astype(jnp.bfloat16)                       # (bq, bk)
+            m_cur = jnp.max(sb, axis=-1, keepdims=True).astype(jnp.float32)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)                  # (bq, 1)
+            p = jnp.exp2(sb - m_new.astype(jnp.bfloat16))     # (bq, bk) bf16
+        else:
+            m_cur = jnp.max(s, axis=-1, keepdims=True)        # (bq, 1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)                  # (bq, 1)
+            p = jnp.exp2(s - m_new)                           # (bq, bk)
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # (bq, d_aug)
+        acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        m_ref[rows, :] = jnp.broadcast_to(m_new, (bq, m_ref.shape[1]))
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = acc_ref[:, head_dim:head_dim + 1]             # softmax denom
+        o = acc_ref[:, :head_dim] / jnp.maximum(l, 1e-30)
+        o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_kernel_frozen(q_ref, m0_ref, k_ref, v_ref, o_ref, acc_ref,
+                         *, scale: float, kv_len: int, block_k: int,
+                         head_dim: int, masked: bool, q_unroll: int = 1):
+    """Frozen-max online softmax: the per-row max estimate m0 arrives as
+    an input (computed once by an XLA prepass over the first k columns),
+    so the kernel's VPU work per score element is exactly subtract + exp2
+    + bf16 cast — no cross-lane max reduduction, no running-max scratch,
+    no alpha rescale of the accumulator (the dominant kernel is VPU-bound
+    on v5e; see PERF.md).
+
+    Correctness: softmax(s) = exp2(s - m0) / sum(exp2(s - m0)) for ANY
+    m0 — the shift cancels in the normalization, and f32's exponent range
+    absorbs estimate error: with the +_FROZEN_MARGIN headroom, overflow
+    needs a later score to exceed the estimate by ~110 nats, far beyond
+    any trained attention's logit range, while underflowed tail weights
+    (< 2^-126 of the max) are below softmax noise anyway.
+    """
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0]                                     # (bk, d)
+    v = v_ref[0]                                     # (bk, d_aug)
+    bq = q_ref.shape[1] // q_unroll
+
+    for ui in range(q_unroll):
+        rows = slice(ui * bq, (ui + 1) * bq)
+        q = q_ref[0, rows, :] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (bq, bk) f32
+        if masked:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + j * block_k)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp2(s - m0_ref[0, rows, 0:1])       # (bq, bk)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (bq, d_aug)
+        acc_ref[rows, :] += pv
 
     @pl.when(j == nk - 1)
     def _finalize():
@@ -133,16 +208,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# headroom added to the frozen-max estimate: overflow then needs a score
+# (126 + 24) / log2(e) ~ 104 nats above the estimate
+_FROZEN_MARGIN = 24.0
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret", "exp_bf16"))
+                                             "interpret", "exp_bf16",
+                                             "q_unroll", "frozen_max"))
 def _flash_attention_3d(q, k, v, scale: float,
                         block_q: int, block_k: int, interpret: bool,
-                        exp_bf16: bool = False):
-    """q: (BH, Lq, D), k/v: (BH, Lk, D)."""
+                        exp_bf16: bool = False, q_unroll: int = 1,
+                        frozen_max: bool = False):
+    """q: (BH, Lq, D), k/v: (BH, Lk, D). ``block_q`` is the per-sub-tile
+    q rows; the kernel step covers ``block_q * q_unroll`` rows."""
     bh, lq, d = q.shape
     kv_len = k.shape[1]
 
-    lq_pad = _round_up(lq, block_q)
+    lq_pad = _round_up(lq, block_q * q_unroll)
     lk_pad = _round_up(kv_len, block_k)
     if lq_pad != lq:
         q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0)))
@@ -160,28 +243,15 @@ def _flash_attention_3d(q, k, v, scale: float,
     v = jnp.concatenate(
         [v, ones, jnp.zeros((bh, lk_pad, d_aug - d - 1), v.dtype)], axis=2)
 
-    grid = (bh, lq_pad // block_q, lk_pad // block_k)
-    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
-                               block_k=block_k, head_dim=d,
-                               masked=masked_pad, exp_bf16=exp_bf16)
-    out = pl.pallas_call(
-        kernel,
+    bq_step = block_q * q_unroll
+    grid = (bh, lq_pad // bq_step, lk_pad // block_k)
+    qspec = pl.BlockSpec((1, bq_step, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_aug), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq_step, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),    # running max (log2)
-            pltpu.VMEM((block_q, d_aug), jnp.float32),  # out acc + denom
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -192,7 +262,52 @@ def _flash_attention_3d(q, k, v, scale: float,
             transcendentals=bh * lq_pad * lk_pad,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )
+    kvspecs = [
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d_aug), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if frozen_max:
+        # XLA prepass: per-row max estimate over the first 128 k columns
+        # (one thin matmul), in the prescaled exp2 domain
+        s0 = jax.lax.dot_general(
+            q.astype(jnp.float32), k[:, :min(128, lk_pad)].astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (bh, lq_pad, <=128)
+        m0 = (jnp.max(s0, axis=-1, keepdims=True)
+              * (scale * _LOG2E) + _FROZEN_MARGIN)    # (bh, lq_pad, 1)
+        kernel = functools.partial(
+            _flash_kernel_frozen, scale=scale, kv_len=kv_len,
+            block_k=block_k, head_dim=d, masked=masked_pad,
+            q_unroll=q_unroll)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[
+                qspec,
+                pl.BlockSpec((1, bq_step, 1), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + kvspecs,
+            scratch_shapes=[
+                pltpu.VMEM((bq_step, d_aug), jnp.float32),  # acc + denom
+            ],
+            **common,
+        )(q, m0, k, v)
+    else:
+        kernel = functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                                   block_k=block_k, head_dim=d,
+                                   masked=masked_pad, exp_bf16=exp_bf16,
+                                   q_unroll=q_unroll)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[qspec] + kvspecs,
+            scratch_shapes=[
+                pltpu.VMEM((bq_step, 128), jnp.float32),  # running max (log2)
+                pltpu.VMEM((bq_step, d_aug), jnp.float32),  # out acc + denom
+            ],
+            **common,
+        )(q, k, v)
     if lq_pad != lq:
         out = out[:, :lq, :]
     return out
@@ -278,18 +393,20 @@ def _shortkv_attention_3d(q, k, v, scale: float, block_q: int,
 _BWD_CHUNK = 256
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_3d_diff(q, k, v, scale, block_q, block_k, interpret,
-                   exp_bf16=False):
+                   exp_bf16=False, q_unroll=1, frozen_max=False):
     return _flash_attention_3d(q, k, v, scale, block_q, block_k, interpret,
-                               exp_bf16=exp_bf16)
+                               exp_bf16=exp_bf16, q_unroll=q_unroll,
+                               frozen_max=frozen_max)
 
 
 def _use_pallas_bwd() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret, exp_bf16):
+def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret, exp_bf16,
+                  q_unroll=1, frozen_max=False):
     # training path (forward-with-LSE + Pallas backward) stays f32: the
     # bf16-softmax lever is an inference-throughput trade only
     if _use_pallas_bwd():
@@ -302,7 +419,8 @@ def _flash_3d_fwd(q, k, v, scale, block_q, block_k, interpret, exp_bf16):
     return out, (q, k, v, out, l2)
 
 
-def _flash_3d_bwd(scale, block_q, block_k, interpret, exp_bf16, res, do):
+def _flash_3d_bwd(scale, block_q, block_k, interpret, exp_bf16,
+                  q_unroll, frozen_max, res, do):
     q, k, v, out, l2 = res
     if l2 is not None:
         from pcdms_tpu.ops.flash_attention_bwd import flash_bwd
@@ -418,8 +536,9 @@ def flash_attention(q, k, v, scale=None, *, block_q: int = 1024,
     q3 = q.reshape(b * h, lq, d)
     k3 = k.reshape(b * h, lk, d)
     v3 = v.reshape(b * h, lk, d)
+    q_unroll = _Q_UNROLL if lq % (block_q * _Q_UNROLL) == 0 else 1
     out = _flash_3d_diff(q3, k3, v3, float(scale), block_q, block_k,
-                         interpret, _EXP_BF16)
+                         interpret, _EXP_BF16, q_unroll, _FROZEN_MAX)
     return out.reshape(b, h, lq, d)
 
 

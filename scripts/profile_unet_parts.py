@@ -131,16 +131,22 @@ def main():
         bh, l, d = B * 5, 8192, 64
         q = jax.random.normal(key, (bh, l, d), jnp.bfloat16)
         fl = 4 * bh * l * l * d
-        for bq, bk, xb in ((1024, 2048, False), (1024, 2048, True),
-                           (1024, 1024, False), (2048, 1024, False),
-                           (512, 4096, False), (1024, 4096, False),
-                           (2048, 2048, True), (512, 2048, True),
-                           (1024, 1024, True), (1024, 4096, True),
-                           (2048, 4096, True), (512, 1024, True)):
-            def f(x, bq=bq, bk=bk, xb=xb):
+        # (block_q, block_k, q_unroll, frozen_max)
+        for bq, bk, qu, fz in ((1024, 2048, 1, False),
+                               (1024, 2048, 2, False),
+                               (1024, 2048, 1, True),
+                               (1024, 2048, 2, True),
+                               (512, 2048, 2, True),
+                               (512, 2048, 4, True),
+                               (1024, 4096, 1, True),
+                               (1024, 4096, 2, True),
+                               (2048, 2048, 1, True),
+                               (2048, 2048, 2, True),
+                               (1024, 1024, 2, True)):
+            def f(x, bq=bq, bk=bk, qu=qu, fz=fz):
                 return _flash_attention_3d(x, x, x, 0.125, bq, bk, False,
-                                           exp_bf16=xb)
-            tag = " bf16exp" if xb else ""
+                                           q_unroll=qu, frozen_max=fz)
+            tag = (f" qu{qu}" if qu > 1 else "") + (" frozen" if fz else "")
             try:
                 time_scan(f"flash bq{bq} bk{bk}{tag}", f, q, 8, flops=fl)
             except Exception as e:  # VMEM overflow etc.

@@ -172,3 +172,61 @@ class TestShortKVKernel:
         for a, b in zip(g, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3, rtol=2e-3)
+
+
+def test_q_unroll_matches_base_kernel():
+    """q_unroll is a pure scheduling change — bit-identical to the
+    single-tile path."""
+    from pcdms_tpu.ops.flash_attention import _flash_attention_3d
+
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    bh, lq, lk, d = 2, 256, 384, 64
+    q = jax.random.normal(kq, (bh, lq, d), jnp.float32)
+    k = jax.random.normal(kk, (bh, lk, d), jnp.float32)
+    v = jax.random.normal(kv, (bh, lk, d), jnp.float32)
+    base = _flash_attention_3d(q, k, v, 0.125, 128, 128, True)
+    for qu in (2,):
+        got = _flash_attention_3d(q, k, v, 0.125, 128, 128, True,
+                                  q_unroll=qu)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    # ragged lq exercises the padded tail inside an unrolled step
+    got = _flash_attention_3d(q[:, :200], k, v, 0.125, 128, 128, True,
+                              q_unroll=2)
+    np.testing.assert_array_equal(
+        np.asarray(got),
+        np.asarray(_flash_attention_3d(q[:, :200], k, v, 0.125, 128, 128,
+                                       True)))
+
+
+def test_frozen_max_matches_base_kernel():
+    """Frozen-max softmax shifts every row by a constant that cancels in
+    normalization — must agree with the online-max path to fp rounding,
+    including the masked ragged-kv tail and large uniform logits."""
+    from pcdms_tpu.ops.flash_attention import _flash_attention_3d
+
+    key = jax.random.PRNGKey(12)
+    kq, kk, kv = jax.random.split(key, 3)
+    bh, lq, lk, d = 2, 256, 384, 64
+    q = jax.random.normal(kq, (bh, lq, d), jnp.float32)
+    k = jax.random.normal(kk, (bh, lk, d), jnp.float32)
+    v = jax.random.normal(kv, (bh, lk, d), jnp.float32)
+    base = _flash_attention_3d(q, k, v, 0.125, 128, 128, True)
+    for qu in (1, 2):
+        got = _flash_attention_3d(q, k, v, 0.125, 128, 128, True,
+                                  frozen_max=True, q_unroll=qu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=2e-3, rtol=2e-3)
+    # ragged kv: the -1e30 pad mask must survive the frozen shift
+    got = _flash_attention_3d(q, k[:, :300], v[:, :300], 0.125, 128, 128,
+                              True, frozen_max=True)
+    exp = _flash_attention_3d(q, k[:, :300], v[:, :300], 0.125, 128, 128,
+                              True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               atol=2e-3, rtol=2e-3)
+    # uniform large logits: frozen estimate == true max, finite output
+    qb = jnp.full((1, 128, 64), 8.0)
+    ob = _flash_attention_3d(qb, qb, jnp.ones((1, 128, 64)), 0.125,
+                             128, 128, True, frozen_max=True)
+    assert bool(jnp.isfinite(ob).all())
+    np.testing.assert_allclose(np.asarray(ob), 1.0, atol=1e-5)
