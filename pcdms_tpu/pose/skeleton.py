@@ -125,6 +125,23 @@ def draw_handpose(canvas: np.ndarray,
     return canvas
 
 
+def draw_facepose(canvas: np.ndarray,
+                  faces: Sequence[np.ndarray]) -> np.ndarray:
+    """Draw face landmarks as white dots, radius 3 (normalized coords;
+    reference: open_pose/util.py:172-199 — the dwpose variant keeps this
+    commented out, so render_pose only uses it for the openpose family)."""
+    _require_cv2()
+    import cv2
+    h, w, _ = canvas.shape
+    for peaks in faces:
+        for x, y in np.asarray(peaks, np.float32):
+            xi, yi = int(x * w), int(y * h)
+            if xi > EPS and yi > EPS:
+                cv2.circle(canvas, (xi, yi), 3, (255, 255, 255),
+                           thickness=-1)
+    return canvas
+
+
 def _hsv_to_rgb(h, s, v):
     i = int(h * 6.0) % 6
     f = h * 6.0 - int(h * 6.0)
@@ -136,11 +153,16 @@ def _hsv_to_rgb(h, s, v):
 
 def render_pose(keypoints: np.ndarray, height: int, width: int,
                 visible: Optional[np.ndarray] = None,
-                hands: Optional[Sequence[np.ndarray]] = None) -> np.ndarray:
+                hands: Optional[Sequence[np.ndarray]] = None,
+                faces: Optional[Sequence[np.ndarray]] = None,
+                draw_body: bool = True) -> np.ndarray:
     """Render a skeleton image. keypoints: (N, 18, 2) or (18, 2) normalized.
     Returns (H, W, 3) uint8 RGB on black."""
     canvas = np.zeros((height, width, 3), np.uint8)
-    canvas = draw_bodypose(canvas, keypoints, visible)
+    if draw_body:
+        canvas = draw_bodypose(canvas, keypoints, visible)
     if hands:
         canvas = draw_handpose(canvas, hands)
+    if faces:
+        canvas = draw_facepose(canvas, faces)
     return canvas
