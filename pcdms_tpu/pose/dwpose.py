@@ -115,9 +115,37 @@ def _bbox_to_center_scale(box, aspect: float = 288 / 384, padding=1.25):
     return np.array([cx, cy]), np.array([w, h]) * padding
 
 
+def _pose_crop(image_rgb: np.ndarray, box):
+    """Expanded-box affine crop to the 288x384 top-down input."""
+    import cv2
+    center, scale = _bbox_to_center_scale(box)
+    w, h = 288, 384
+    src = np.array([center - scale / 2,
+                    center + np.array([scale[0], -scale[1]]) / 2,
+                    center + scale / 2], np.float32)
+    dst = np.array([[0, 0], [w, 0], [w, h]], np.float32)
+    mat = cv2.getAffineTransform(src, dst)
+    return cv2.warpAffine(image_rgb, mat, (w, h)), mat
+
+
+def _simcc_to_image(simcc_x: np.ndarray, simcc_y: np.ndarray, mat):
+    """SimCC argmax / split-ratio decode + inverse-affine to image coords.
+    simcc_x: (K, Wbins), simcc_y: (K, Hbins)."""
+    import cv2
+    kx = simcc_x.argmax(-1) / 2.0
+    ky = simcc_y.argmax(-1) / 2.0
+    scores = np.minimum(simcc_x.max(-1), simcc_y.max(-1))
+    pts = np.stack([kx, ky], -1)
+    inv = cv2.invertAffineTransform(np.asarray(mat))
+    pts = pts @ inv[:, :2].T + inv[:, 2]
+    return pts, scores
+
+
 class DWposeDetector:
     """Reference-compatible facade: detector(image) -> skeleton render +
     keypoints (dwpose/__init__.py:33-43)."""
+
+    det_size = 640          # YOLOX letterbox edge (wholebody protocol)
 
     def __init__(self, det_onnx: str, pose_onnx: str,
                  providers: Optional[List[str]] = None):
@@ -129,33 +157,17 @@ class DWposeDetector:
     def detect_persons(self, image_rgb: np.ndarray):
         import cv2
         bgr = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR)
-        inp, ratio = _letterbox(bgr)
+        inp, ratio = _letterbox(bgr, self.det_size)
         blob = inp.transpose(2, 0, 1)[None].astype(np.float32)
         out = self.det.run(None, {self.det.get_inputs()[0].name: blob})[0]
-        return decode_yolox(out, ratio)
+        return decode_yolox(out, ratio, input_size=self.det_size)
 
     def estimate_pose(self, image_rgb: np.ndarray, box):
-        import cv2
-        center, scale = _bbox_to_center_scale(box)
-        w, h = 288, 384
-        src = np.array([center - scale / 2,
-                        center + np.array([scale[0], -scale[1]]) / 2,
-                        center + scale / 2], np.float32)
-        dst = np.array([[0, 0], [w, 0], [w, h]], np.float32)
-        mat = cv2.getAffineTransform(src, dst)
-        crop = cv2.warpAffine(image_rgb, mat, (w, h))
+        crop, mat = _pose_crop(image_rgb, box)
         blob = crop.transpose(2, 0, 1)[None].astype(np.float32)
         simcc_x, simcc_y = self.pose.run(
             None, {self.pose.get_inputs()[0].name: blob})[:2]
-        # SimCC decode: argmax / split_ratio
-        kx = simcc_x[0].argmax(-1) / 2.0
-        ky = simcc_y[0].argmax(-1) / 2.0
-        scores = np.minimum(simcc_x[0].max(-1), simcc_y[0].max(-1))
-        pts = np.stack([kx, ky], -1)
-        # back to image coords
-        inv = cv2.invertAffineTransform(mat)
-        pts = pts @ inv[:, :2].T + inv[:, 2]
-        return pts, scores
+        return _simcc_to_image(simcc_x[0], simcc_y[0], mat)
 
     def __call__(self, image_rgb: np.ndarray,
                  render_size: Optional[Tuple[int, int]] = None):
@@ -177,3 +189,49 @@ class DWposeDetector:
         rh, rw = render_size or (h, w)
         render = render_pose(kpts, rh, rw, visible=scores18 > 0.3)
         return render, kpts, scores18
+
+
+class DWposeJAX(DWposeDetector):
+    """DWPose with on-device JAX networks instead of onnxruntime.
+
+    Runs the from-scratch YOLOX-l / RTMPose-l implementations
+    (pcdms_tpu/pose/detectors/{yolox,rtmpose}.py) under jit, sharing this
+    module's protocol code (letterbox, NMS, SimCC decode, COCO->OpenPose
+    remap) with the ONNX path. Weights come from the mm checkpoints the
+    reference downloads (wholebody.py:37-49) via ``from_torch``.
+    """
+
+    def __init__(self, det_params, pose_params, det_size: int = 640):
+        import jax as _jax
+        self.det_size = det_size
+        from pcdms_tpu.pose.detectors.rtmpose import rtmpose_apply
+        from pcdms_tpu.pose.detectors.yolox import yolox_apply
+        self.det_params = det_params
+        self.pose_params = pose_params
+        self._det = _jax.jit(yolox_apply)
+        self._pose = _jax.jit(rtmpose_apply)
+
+    @classmethod
+    def from_torch(cls, det_ckpt: str, pose_ckpt: str) -> "DWposeJAX":
+        from pcdms_tpu.pose.detectors.common import load_torch_state_dict
+        from pcdms_tpu.pose.detectors.rtmpose import convert_rtmpose
+        from pcdms_tpu.pose.detectors.yolox import convert_yolox
+        return cls(convert_yolox(load_torch_state_dict(det_ckpt)),
+                   convert_rtmpose(load_torch_state_dict(pose_ckpt)))
+
+    def detect_persons(self, image_rgb: np.ndarray):
+        import cv2
+        import jax.numpy as jnp
+        bgr = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR)
+        inp, ratio = _letterbox(bgr, self.det_size)
+        out = np.asarray(self._det(self.det_params,
+                                   jnp.asarray(inp, jnp.float32)[None]))
+        return decode_yolox(out, ratio, input_size=self.det_size)
+
+    def estimate_pose(self, image_rgb: np.ndarray, box):
+        import jax.numpy as jnp
+        crop, mat = _pose_crop(image_rgb, box)
+        simcc_x, simcc_y = self._pose(self.pose_params,
+                                      jnp.asarray(crop, jnp.float32)[None])
+        return _simcc_to_image(np.asarray(simcc_x[0]),
+                               np.asarray(simcc_y[0]), mat)
