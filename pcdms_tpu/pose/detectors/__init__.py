@@ -1,11 +1,12 @@
 """Auxiliary NN condition detectors (controlnet-aux parity family).
 
-JAX-native re-implementations of the edge/line detector models the
-reference vendors in /root/reference/src/controlnet_aux/ — HED, PiDiNet,
-LineArt, LineArt-Anime — as NHWC param pytrees with torch-checkpoint
-converters. The heavyweight depth/normal/segmentation detectors (midas,
-zoe, leres, normalbae, sam, mediapipe_face) stay weight-gated in
-pcdms_tpu.pose.processors; PCDMs itself only ever calls DWPose.
+JAX-native re-implementations of the detector models the reference
+vendors in /root/reference/src/controlnet_aux/ — HED, PiDiNet, LineArt,
+LineArt-Anime, M-LSD, the OpenPose body/hand/face CPMs, the DWPose pair
+(YOLOX-l + RTMPose-l), and MiDaS DPT-hybrid depth — as NHWC param
+pytrees with torch-checkpoint converters. The remaining heavyweight
+detectors (zoe, leres, normalbae, sam, mediapipe_face) stay weight-gated
+in pcdms_tpu.pose.processors; PCDMs itself only ever calls DWPose.
 """
 
 from pcdms_tpu.pose.detectors.hed import (
@@ -18,19 +19,39 @@ from pcdms_tpu.pose.detectors.lineart_anime import (
     LineartAnimeDetector, convert_lineart_anime, lineart_anime_apply,
     lineart_anime_init,
 )
+from pcdms_tpu.pose.detectors.midas import (
+    MidasDetector, convert_dpt_hybrid, dpt_hybrid_apply, dpt_hybrid_init,
+)
 from pcdms_tpu.pose.detectors.mlsd import (
     MLSDdetector, convert_mlsd, decode_lines, mlsd_apply, mlsd_init,
+)
+from pcdms_tpu.pose.detectors.openpose import (
+    OpenposeDetector, body_apply, body_init, convert_body, convert_face,
+    convert_hand, face_apply, face_init, hand_apply, hand_init,
 )
 from pcdms_tpu.pose.detectors.pidi import (
     PidiNetDetector, convert_pidinet, pidinet_apply, pidinet_init,
 )
+from pcdms_tpu.pose.detectors.rtmpose import (
+    convert_rtmpose, rtmpose_apply, rtmpose_init,
+)
+from pcdms_tpu.pose.detectors.yolox import (
+    convert_yolox, yolox_apply, yolox_init,
+)
 
 __all__ = [
     "HEDdetector", "convert_hed", "hed_apply", "hed_init",
+    "OpenposeDetector", "body_apply", "body_init", "convert_body",
+    "convert_face", "convert_hand", "face_apply", "face_init",
+    "hand_apply", "hand_init",
     "LineartDetector", "convert_lineart", "lineart_apply", "lineart_init",
     "LineartAnimeDetector", "convert_lineart_anime", "lineart_anime_apply",
     "lineart_anime_init",
     "MLSDdetector", "convert_mlsd", "decode_lines", "mlsd_apply",
     "mlsd_init",
+    "MidasDetector", "convert_dpt_hybrid", "dpt_hybrid_apply",
+    "dpt_hybrid_init",
     "PidiNetDetector", "convert_pidinet", "pidinet_apply", "pidinet_init",
+    "convert_rtmpose", "rtmpose_apply", "rtmpose_init",
+    "convert_yolox", "yolox_apply", "yolox_init",
 ]

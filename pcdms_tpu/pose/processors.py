@@ -6,11 +6,16 @@ itself only uses DWPose. This module provides the same facade surface:
 
   * non-NN detectors implemented natively: canny, shuffle (content
     shuffle), scribble/threshold utilities, resize
-  * ``dwpose`` routed to pcdms_tpu.pose.dwpose (ONNX host path)
-  * NN detectors that need pretrained torch weights (hed, midas/depth,
-    zoe, normalbae, lineart, mlsd, pidi, sam, mediapipe_face) raise a
-    clear NotImplementedError naming the weight dependency — this image
-    has no network egress, and PCDMs' pipelines never call them.
+  * ``dwpose`` routed to pcdms_tpu.pose.dwpose (ONNX host path, or the
+    JAX YOLOX+RTMPose pair via params={'det_torch': ..., 'pose_torch':
+    ...})
+  * NN detectors with JAX-native models (hed, pidinet, lineart(+anime),
+    mlsd, openpose family, midas depth/normal) run once their torch
+    checkpoint is supplied via params={'weights': ...}
+  * the remaining heavyweight detectors (zoe, leres, normalbae, sam,
+    mediapipe_face) raise a clear NotImplementedError naming the weight
+    dependency — this image has no network egress, and PCDMs' own
+    pipelines never call them.
 
 API parity: Processor(processor_id)(image, to_pil=True).
 """
@@ -38,7 +43,18 @@ _IMPLEMENTED_NN = (
     "hed", "hed_safe", "scribble_hed", "softedge_hed", "softedge_hedsafe",
     "scribble_pidinet", "softedge_pidinet", "softedge_pidsafe",
     "lineart_realistic", "lineart_coarse", "lineart_anime", "mlsd",
+    "openpose", "openpose_face", "openpose_faceonly", "openpose_full",
+    "openpose_hand", "midas", "depth_midas", "normal_midas",
 )
+
+# controlnet-aux processor.py:59-63 include-flag table
+_OPENPOSE_FLAGS = {
+    "openpose": (True, False, False),
+    "openpose_face": (True, False, True),
+    "openpose_faceonly": (False, False, True),
+    "openpose_full": (True, True, True),
+    "openpose_hand": (False, True, False),
+}
 
 
 def _to_np(img) -> np.ndarray:
@@ -98,9 +114,15 @@ class Processor:
         if pid == "scribble":
             return scribble_from_edges
         if pid in ("dwpose", "dwpose_body"):
-            from pcdms_tpu.pose.dwpose import DWposeDetector
-            det = DWposeDetector(self.params["det_onnx"],
-                                 self.params["pose_onnx"])
+            if "det_torch" in self.params:
+                # on-device JAX YOLOX-l + RTMPose-l from mm checkpoints
+                from pcdms_tpu.pose.dwpose import DWposeJAX
+                det = DWposeJAX.from_torch(self.params["det_torch"],
+                                           self.params["pose_torch"])
+            else:
+                from pcdms_tpu.pose.dwpose import DWposeDetector
+                det = DWposeDetector(self.params["det_onnx"],
+                                     self.params["pose_onnx"])
 
             def run(img):
                 render, _, _ = det(_to_np(img))
@@ -164,11 +186,31 @@ class Processor:
         if pid == "mlsd":
             d = det.MLSDdetector.from_pretrained(weights)
             return lambda img, **kw: d(img, **kw)
+        if pid in ("midas", "depth_midas", "normal_midas"):
+            d = det.MidasDetector.from_pretrained(weights)
+            if pid == "normal_midas":
+                return lambda img, **kw: d(img, depth_and_normal=True,
+                                           **kw)[1]
+            return lambda img, **kw: d(img, **kw)
+        if pid in _OPENPOSE_FLAGS:
+            body, hand, face = _OPENPOSE_FLAGS[pid]
+            d = det.OpenposeDetector.from_pretrained(
+                weights,
+                self.params.get("hand_weights") if hand else None,
+                self.params.get("face_weights") if face else None)
+            return lambda img, **kw: d(
+                img, include_body=kw.pop("include_body", body),
+                include_hand=kw.pop("include_hand", hand),
+                include_face=kw.pop("include_face", face), **kw)
         raise ValueError(f"unhandled NN processor: {pid}")
+
+    _CTOR_KEYS = ("det_onnx", "pose_onnx", "det_torch", "pose_torch",
+                  "weights", "coarse_weights", "hand_weights",
+                  "face_weights")
 
     def __call__(self, image, to_pil: bool = True):
         out = self._fn(image, **{k: v for k, v in self.params.items()
-                                 if k not in ("det_onnx", "pose_onnx")})
+                                 if k not in self._CTOR_KEYS})
         if to_pil and isinstance(out, np.ndarray):
             return Image.fromarray(out.astype(np.uint8))
         return out
