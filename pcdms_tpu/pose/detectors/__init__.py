@@ -3,14 +3,18 @@
 JAX-native re-implementations of the detector models the reference
 vendors in /root/reference/src/controlnet_aux/ — HED, PiDiNet, LineArt,
 LineArt-Anime, M-LSD, the OpenPose body/hand/face CPMs, the DWPose pair
-(YOLOX-l + RTMPose-l), and MiDaS DPT-hybrid depth — as NHWC param
-pytrees with torch-checkpoint converters. The remaining heavyweight
-detectors (zoe, leres, normalbae, sam, mediapipe_face) stay weight-gated
+(YOLOX-l + RTMPose-l), MiDaS DPT-hybrid depth, LeReS
+(ResNeXt101 + FFM decoder), and NormalBae (EfficientNet-B5 + NNET) — as
+NHWC param pytrees with torch-checkpoint converters. The remaining
+detectors (zoe, leres++/pix2pix, sam, mediapipe_face) stay weight-gated
 in pcdms_tpu.pose.processors; PCDMs itself only ever calls DWPose.
 """
 
 from pcdms_tpu.pose.detectors.hed import (
     HEDdetector, convert_hed, hed_apply, hed_init,
+)
+from pcdms_tpu.pose.detectors.leres import (
+    LeresDetector, convert_leres, leres_apply, leres_init,
 )
 from pcdms_tpu.pose.detectors.lineart import (
     LineartDetector, convert_lineart, lineart_apply, lineart_init,
@@ -24,6 +28,9 @@ from pcdms_tpu.pose.detectors.midas import (
 )
 from pcdms_tpu.pose.detectors.mlsd import (
     MLSDdetector, convert_mlsd, decode_lines, mlsd_apply, mlsd_init,
+)
+from pcdms_tpu.pose.detectors.normalbae import (
+    NormalBaeDetector, convert_nnet, nnet_apply, nnet_init,
 )
 from pcdms_tpu.pose.detectors.openpose import (
     OpenposeDetector, body_apply, body_init, convert_body, convert_face,
@@ -51,6 +58,8 @@ __all__ = [
     "mlsd_init",
     "MidasDetector", "convert_dpt_hybrid", "dpt_hybrid_apply",
     "dpt_hybrid_init",
+    "LeresDetector", "convert_leres", "leres_apply", "leres_init",
+    "NormalBaeDetector", "convert_nnet", "nnet_apply", "nnet_init",
     "PidiNetDetector", "convert_pidinet", "pidinet_apply", "pidinet_init",
     "convert_rtmpose", "rtmpose_apply", "rtmpose_init",
     "convert_yolox", "yolox_apply", "yolox_init",

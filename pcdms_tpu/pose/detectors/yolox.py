@@ -51,13 +51,16 @@ def conv_module_apply(p: Dict, x, *, stride: int = 1, act: bool = True,
 
 
 def fold_bn(w_oihw: np.ndarray, bn: Dict[str, np.ndarray],
-            eps: float) -> Dict:
-    """torch Conv2d(bias=False) + BatchNorm2d -> single HWIO conv+bias."""
+            eps: float, conv_bias=None) -> Dict:
+    """torch Conv2d + BatchNorm2d -> single HWIO conv+bias. ``conv_bias``
+    is the conv's own bias when it has one (folded through the BN)."""
     gamma, beta = np.asarray(bn["weight"]), np.asarray(bn["bias"])
     mean, var = np.asarray(bn["running_mean"]), np.asarray(bn["running_var"])
     scale = gamma / np.sqrt(var + eps)
     w = np.asarray(w_oihw) * scale[:, None, None, None]
     b = beta - mean * scale
+    if conv_bias is not None:
+        b = b + np.asarray(conv_bias) * scale
     return {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)).copy()),
             "bias": jnp.asarray(b)}
 

@@ -45,6 +45,7 @@ _IMPLEMENTED_NN = (
     "lineart_realistic", "lineart_coarse", "lineart_anime", "mlsd",
     "openpose", "openpose_face", "openpose_faceonly", "openpose_full",
     "openpose_hand", "midas", "depth_midas", "normal_midas",
+    "depth_leres", "normal_bae",
 )
 
 # controlnet-aux processor.py:59-63 include-flag table
@@ -185,6 +186,12 @@ class Processor:
             return lambda img, **kw: d(img, **kw)
         if pid == "mlsd":
             d = det.MLSDdetector.from_pretrained(weights)
+            return lambda img, **kw: d(img, **kw)
+        if pid == "normal_bae":
+            d = det.NormalBaeDetector.from_pretrained(weights)
+            return lambda img, **kw: d(img, **kw)
+        if pid == "depth_leres":
+            d = det.LeresDetector.from_pretrained(weights)
             return lambda img, **kw: d(img, **kw)
         if pid in ("midas", "depth_midas", "normal_midas"):
             d = det.MidasDetector.from_pretrained(weights)
