@@ -4,9 +4,11 @@ JAX-native re-implementations of the detector models the reference
 vendors in /root/reference/src/controlnet_aux/ — HED, PiDiNet, LineArt,
 LineArt-Anime, M-LSD, the OpenPose body/hand/face CPMs, the DWPose pair
 (YOLOX-l + RTMPose-l), MiDaS DPT-hybrid depth, LeReS
-(ResNeXt101 + FFM decoder), and NormalBae (EfficientNet-B5 + NNET) — as
-NHWC param pytrees with torch-checkpoint converters. The remaining
-detectors (zoe, leres++/pix2pix, sam, mediapipe_face) stay weight-gated
+(ResNeXt101 + FFM decoder), NormalBae (EfficientNet-B5 + NNET), and
+ZoeDepth (BEiT-L DPT + metric bins), and SAM (vit_h/l/b encoders +
+two-way mask decoder + automatic mask generator) — as NHWC param
+pytrees with torch-checkpoint converters. The remaining detectors
+(leres++/pix2pix, mediapipe_face) stay weight-gated
 in pcdms_tpu.pose.processors; PCDMs itself only ever calls DWPose.
 """
 
@@ -42,6 +44,15 @@ from pcdms_tpu.pose.detectors.pidi import (
 from pcdms_tpu.pose.detectors.rtmpose import (
     convert_rtmpose, rtmpose_apply, rtmpose_init,
 )
+from pcdms_tpu.pose.detectors.sam import (
+    SAM_CONFIGS, SamConfig, convert_sam, sam_init,
+)
+from pcdms_tpu.pose.detectors.sam_amg import (
+    SamAutomaticMaskGenerator, SamDetector,
+)
+from pcdms_tpu.pose.detectors.zoe import (
+    ZoeDetector, convert_zoedepth, zoe_apply, zoe_init,
+)
 from pcdms_tpu.pose.detectors.yolox import (
     convert_yolox, yolox_apply, yolox_init,
 )
@@ -63,4 +74,7 @@ __all__ = [
     "PidiNetDetector", "convert_pidinet", "pidinet_apply", "pidinet_init",
     "convert_rtmpose", "rtmpose_apply", "rtmpose_init",
     "convert_yolox", "yolox_apply", "yolox_init",
+    "ZoeDetector", "convert_zoedepth", "zoe_apply", "zoe_init",
+    "SAM_CONFIGS", "SamConfig", "convert_sam", "sam_init",
+    "SamAutomaticMaskGenerator", "SamDetector",
 ]

@@ -45,7 +45,7 @@ _IMPLEMENTED_NN = (
     "lineart_realistic", "lineart_coarse", "lineart_anime", "mlsd",
     "openpose", "openpose_face", "openpose_faceonly", "openpose_full",
     "openpose_hand", "midas", "depth_midas", "normal_midas",
-    "depth_leres", "normal_bae",
+    "depth_leres", "normal_bae", "depth_zoe", "sam",
 )
 
 # controlnet-aux processor.py:59-63 include-flag table
@@ -186,6 +186,13 @@ class Processor:
             return lambda img, **kw: d(img, **kw)
         if pid == "mlsd":
             d = det.MLSDdetector.from_pretrained(weights)
+            return lambda img, **kw: d(img, **kw)
+        if pid == "sam":
+            from pcdms_tpu.pose.detectors.sam_amg import SamDetector
+            d = SamDetector.from_pretrained(weights)
+            return lambda img, **kw: d(img, **kw)
+        if pid == "depth_zoe":
+            d = det.ZoeDetector.from_pretrained(weights)
             return lambda img, **kw: d(img, **kw)
         if pid == "normal_bae":
             d = det.NormalBaeDetector.from_pretrained(weights)
