@@ -7,9 +7,10 @@ LineArt-Anime, M-LSD, the OpenPose body/hand/face CPMs, the DWPose pair
 (ResNeXt101 + FFM decoder), NormalBae (EfficientNet-B5 + NNET), and
 ZoeDepth (BEiT-L DPT + metric bins), and SAM (vit_h/l/b encoders +
 two-way mask decoder + automatic mask generator) — as NHWC param
-pytrees with torch-checkpoint converters. The remaining detectors
-(leres++/pix2pix, mediapipe_face) stay weight-gated
-in pcdms_tpu.pose.processors; PCDMs itself only ever calls DWPose.
+pytrees with torch-checkpoint converters, plus the LeReS++ pix2pix
+merge network and boosting protocol. Only mediapipe_face (external
+mediapipe dependency) stays gated in pcdms_tpu.pose.processors; PCDMs
+itself only ever calls DWPose.
 """
 
 from pcdms_tpu.pose.detectors.hed import (
@@ -17,6 +18,9 @@ from pcdms_tpu.pose.detectors.hed import (
 )
 from pcdms_tpu.pose.detectors.leres import (
     LeresDetector, convert_leres, leres_apply, leres_init,
+)
+from pcdms_tpu.pose.detectors.leres_boost import (
+    convert_pix2pix4depth, estimateboost, pix2pix_apply, pix2pix_init,
 )
 from pcdms_tpu.pose.detectors.lineart import (
     LineartDetector, convert_lineart, lineart_apply, lineart_init,
@@ -70,6 +74,8 @@ __all__ = [
     "MidasDetector", "convert_dpt_hybrid", "dpt_hybrid_apply",
     "dpt_hybrid_init",
     "LeresDetector", "convert_leres", "leres_apply", "leres_init",
+    "convert_pix2pix4depth", "estimateboost", "pix2pix_apply",
+    "pix2pix_init",
     "NormalBaeDetector", "convert_nnet", "nnet_apply", "nnet_init",
     "PidiNetDetector", "convert_pidinet", "pidinet_apply", "pidinet_init",
     "convert_rtmpose", "rtmpose_apply", "rtmpose_init",

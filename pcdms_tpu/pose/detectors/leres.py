@@ -10,8 +10,9 @@ quirk preserved) and the 16-bit normalize / invert postprocess
 (leres/__init__.py:60-112).
 
 BN is folded into convs at conversion (inference-only). The ``boost``
-mode (pix2pix merge networks) is explicitly gated — the reference only
-exposes it behind an off-by-default flag.
+mode runs the full BoostingMonocularDepth protocol via
+pcdms_tpu.pose.detectors.leres_boost (pix2pix merge network + adaptive
+patch refinement) when the merge checkpoint is supplied.
 """
 
 from __future__ import annotations
@@ -234,33 +235,64 @@ def leres_init(key, dtype=jnp.float32) -> Dict:
 # ---------------------------------------------------------------------------
 
 class LeresDetector:
-    def __init__(self, params: Dict):
+    def __init__(self, params: Dict, pix2pix_params=None):
         self.params = params
+        self.pix2pix_params = pix2pix_params
         self._apply = jax.jit(leres_apply)
 
     @classmethod
-    def from_pretrained(cls, weights_path: str) -> "LeresDetector":
+    def from_pretrained(cls, weights_path: str,
+                        pix2pix_weights: str = None) -> "LeresDetector":
         import torch
         ckpt = torch.load(weights_path, map_location="cpu",
                           weights_only=False)
         sd = {k.replace("module.", ""): v.detach().numpy()
               for k, v in ckpt["depth_model"].items()}
-        return cls(convert_leres(sd))
+        p2p = None
+        if pix2pix_weights is not None:
+            from pcdms_tpu.pose.detectors.common import (
+                load_torch_state_dict,
+            )
+            from pcdms_tpu.pose.detectors.leres_boost import (
+                convert_pix2pix4depth,
+            )
+            p2p = convert_pix2pix4depth(
+                load_torch_state_dict(pix2pix_weights))
+        return cls(convert_leres(sd), p2p)
+
+    def _estimate(self, rgb: np.ndarray, w: int, h: int) -> np.ndarray:
+        """estimateleres protocol on an RGB image (the BGR flip +
+        resize happen here, depthmap.py:35-50)."""
+        import cv2
+        bgr = rgb[:, :, ::-1].astype(np.float32)
+        resized = cv2.resize(bgr, (w, h))
+        depth = np.asarray(
+            self._apply(self.params, jnp.asarray(resized)[None])[0],
+            np.float32)
+        return cv2.resize(depth, (rgb.shape[1], rgb.shape[0]),
+                          interpolation=cv2.INTER_CUBIC)
 
     def __call__(self, input_image, thr_a: float = 0, thr_b: float = 0,
                  boost: bool = False, detect_resolution: int = 512,
                  image_resolution: int = 512):
         import cv2
-        if boost:
+        if boost and self.pix2pix_params is None:
             raise NotImplementedError(
-                "LeReS boost mode needs the pix2pix merge network "
-                "(latest_net_G.pth); the default single-pass estimate is "
-                "implemented.")
+                "LeReS boost mode needs the pix2pix merge network: pass "
+                "pix2pix_weights=... (latest_net_G.pth) to "
+                "from_pretrained.")
         img = hwc3(np.asarray(input_image, np.uint8))
         img = resize_to_64(img, detect_resolution)
-        bgr = img[:, :, ::-1].astype(np.float32)      # reference quirk
-        depth = np.asarray(self._apply(self.params, jnp.asarray(bgr)[None])
-                           [0], np.float32)
+        if boost:
+            from pcdms_tpu.pose.detectors.leres_boost import estimateboost
+            depth = estimateboost(
+                img, self._estimate, self.pix2pix_params,
+                max_res=max(img.shape[:2]))
+        else:
+            bgr = img[:, :, ::-1].astype(np.float32)  # reference quirk
+            depth = np.asarray(
+                self._apply(self.params, jnp.asarray(bgr)[None])[0],
+                np.float32)
 
         dmin, dmax = depth.min(), depth.max()
         if dmax - dmin > np.finfo(np.float32).eps:

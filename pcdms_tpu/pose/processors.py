@@ -10,12 +10,12 @@ itself only uses DWPose. This module provides the same facade surface:
     JAX YOLOX+RTMPose pair via params={'det_torch': ..., 'pose_torch':
     ...})
   * NN detectors with JAX-native models (hed, pidinet, lineart(+anime),
-    mlsd, openpose family, midas depth/normal) run once their torch
-    checkpoint is supplied via params={'weights': ...}
-  * the remaining heavyweight detectors (zoe, leres, normalbae, sam,
-    mediapipe_face) raise a clear NotImplementedError naming the weight
-    dependency — this image has no network egress, and PCDMs' own
-    pipelines never call them.
+    mlsd, openpose family, midas depth/normal, leres(+boost), normalbae,
+    zoe, sam) run once their torch checkpoint is supplied via
+    params={'weights': ...}
+  * ``mediapipe_face`` (the one detector needing the external
+    mediapipe package) raises a clear NotImplementedError — this image
+    has no network egress, and PCDMs' own pipelines never call it.
 
 API parity: Processor(processor_id)(image, to_pil=True).
 """
@@ -45,7 +45,7 @@ _IMPLEMENTED_NN = (
     "lineart_realistic", "lineart_coarse", "lineart_anime", "mlsd",
     "openpose", "openpose_face", "openpose_faceonly", "openpose_full",
     "openpose_hand", "midas", "depth_midas", "normal_midas",
-    "depth_leres", "normal_bae", "depth_zoe", "sam",
+    "depth_leres", "depth_leres++", "normal_bae", "depth_zoe", "sam",
 )
 
 # controlnet-aux processor.py:59-63 include-flag table
@@ -197,9 +197,12 @@ class Processor:
         if pid == "normal_bae":
             d = det.NormalBaeDetector.from_pretrained(weights)
             return lambda img, **kw: d(img, **kw)
-        if pid == "depth_leres":
-            d = det.LeresDetector.from_pretrained(weights)
-            return lambda img, **kw: d(img, **kw)
+        if pid in ("depth_leres", "depth_leres++"):
+            d = det.LeresDetector.from_pretrained(
+                weights, pix2pix_weights=self.params.get("pix2pix_weights"))
+            boost = pid.endswith("++")
+            return lambda img, **kw: d(img, boost=kw.pop("boost", boost),
+                                       **kw)
         if pid in ("midas", "depth_midas", "normal_midas"):
             d = det.MidasDetector.from_pretrained(weights)
             if pid == "normal_midas":
