@@ -36,15 +36,21 @@ def hwc3(x: np.ndarray) -> np.ndarray:
     return (color * alpha + 255.0 * (1.0 - alpha)).clip(0, 255).astype(np.uint8)
 
 
+def shape_to_64(h: int, w: int, resolution: int):
+    """The output grid resize_to_64 would produce, without resizing."""
+    k = float(resolution) / min(h, w)
+    return (int(np.round(h * k / 64.0)) * 64,
+            int(np.round(w * k / 64.0)) * 64)
+
+
 def resize_to_64(img: np.ndarray, resolution: int) -> np.ndarray:
     """Scale so min side ~= resolution, snapped to multiples of 64
     (util.py:resize_image: Lanczos upsample / area downsample)."""
     import cv2
     h, w = img.shape[:2]
-    k = float(resolution) / min(h, w)
-    nh = int(np.round(h * k / 64.0)) * 64
-    nw = int(np.round(w * k / 64.0)) * 64
-    interp = cv2.INTER_LANCZOS4 if k > 1 else cv2.INTER_AREA
+    nh, nw = shape_to_64(h, w, resolution)
+    interp = (cv2.INTER_LANCZOS4 if resolution > min(h, w)
+              else cv2.INTER_AREA)
     return cv2.resize(img, (nw, nh), interpolation=interp)
 
 

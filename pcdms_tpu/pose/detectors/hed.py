@@ -21,7 +21,7 @@ import numpy as np
 
 from pcdms_tpu.nn.layers import conv2d_init
 from pcdms_tpu.pose.detectors.common import (
-    conv, hwc3, max_pool_2x2, resize_to_64, safe_step,
+    conv, hwc3, max_pool_2x2, resize_to_64, shape_to_64, safe_step,
     scribble_postprocess, t2j_conv,
 )
 
@@ -110,7 +110,7 @@ class HEDdetector:
             edge = safe_step(edge)
         detected = hwc3((edge * 255.0).clip(0, 255).astype(np.uint8))
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         detected = cv2.resize(detected, (out_hw[1], out_hw[0]),
                               interpolation=cv2.INTER_LINEAR)
         if scribble:

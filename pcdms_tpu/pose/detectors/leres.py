@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcdms_tpu.pose.detectors.common import conv, hwc3, resize_to_64
+from pcdms_tpu.pose.detectors.common import (
+    conv, hwc3, resize_to_64, shape_to_64,
+)
 from pcdms_tpu.pose.detectors.midas import up2_align_corners
 from pcdms_tpu.pose.detectors.yolox import fold_bn
 
@@ -310,6 +312,6 @@ class LeresDetector:
                                         255, cv2.THRESH_TOZERO)[1]
         detected = hwc3(depth_image)
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         return cv2.resize(detected, (out_hw[1], out_hw[0]),
                           interpolation=cv2.INTER_LINEAR)

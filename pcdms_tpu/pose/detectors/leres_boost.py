@@ -89,18 +89,20 @@ def pix2pix_apply(params: List[Dict], x):
 
 def convert_pix2pix4depth(sd: Dict[str, np.ndarray]) -> List[Dict]:
     """latest_net_G.pth state dict -> per-level param list (same nested
-    Sequential naming as the lineart-anime generator, with norm='none'
-    index offsets: middle levels have up at index 4, not 5)."""
+    Sequential key layout as the normed pix2pix variants — see below)."""
     params = []
     prefix = "model.model."
     for i in range(len(_LEVELS)):
         outermost = i == 0
         innermost = i == len(_LEVELS) - 1
         di = 0 if outermost else 1
-        # Sequential: outermost [down, sub, relu, up, tanh] -> up at 3;
-        # innermost [relu, down, relu, up] -> up at 3; middle (no norm)
-        # [relu, down, sub, relu, up] -> up at 4
-        ui = 3 if (outermost or innermost) else 4
+        # norm='none' produces Identity MODULES that still occupy
+        # Sequential slots (networks.py:31-32, 507-530), so the key
+        # layout matches the normed variant: outermost [down, sub, relu,
+        # up, tanh] -> up at 3; innermost [relu, down, relu, up, norm]
+        # -> up at 3; middle [relu, down, norm, sub, relu, up, norm] ->
+        # up at 5, submodule at 3
+        ui = 3 if (outermost or innermost) else 5
         down = {"kernel": jnp.asarray(t2j_conv(sd[f"{prefix}{di}.weight"])),
                 "bias": None}
         up = {"kernel": jnp.asarray(
@@ -108,7 +110,7 @@ def convert_pix2pix4depth(sd: Dict[str, np.ndarray]) -> List[Dict]:
             "bias": jnp.asarray(np.asarray(sd[f"{prefix}{ui}.bias"]))
             if outermost else None}
         params.append({"down": down, "up": up})
-        prefix += "1.model." if outermost else "2.model."
+        prefix += "1.model." if outermost else "3.model."
     return params
 
 
@@ -175,7 +177,7 @@ def calculateprocessingres(img: np.ndarray, basesize: int,
     grad = (np.abs(cv2.Sobel(gray, cv2.CV_64F, 0, 1, ksize=3))
             + np.abs(cv2.Sobel(gray, cv2.CV_64F, 1, 0, ksize=3)))
     grad = cv2.resize(grad, (image_dim, image_dim), cv2.INTER_AREA)
-    middle = grad.max() / 2
+    middle = grad.min() + 0.4 * (grad.max() - grad.min())
     grad[grad < middle] = 0
     grad[grad >= middle] = 1
 

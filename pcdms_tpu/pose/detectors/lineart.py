@@ -22,7 +22,7 @@ import numpy as np
 
 from pcdms_tpu.nn.layers import conv2d_init
 from pcdms_tpu.pose.detectors.common import (
-    conv, conv_transpose, hwc3, instance_norm, reflect_pad, resize_to_64,
+    conv, conv_transpose, hwc3, instance_norm, reflect_pad, resize_to_64, shape_to_64,
     t2j_conv, t2j_conv_transpose,
 )
 
@@ -133,7 +133,7 @@ class LineartDetector:
         line = np.asarray(self._apply(params, x)[0, :, :, 0], np.float32)
         detected = hwc3((line * 255.0).clip(0, 255).astype(np.uint8))
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         detected = cv2.resize(detected, (out_hw[1], out_hw[0]),
                               interpolation=cv2.INTER_LINEAR)
         return 255 - detected

@@ -23,7 +23,7 @@ import numpy as np
 
 from pcdms_tpu.nn.layers import conv2d_init
 from pcdms_tpu.pose.detectors.common import (
-    conv, conv_transpose, hwc3, instance_norm, leaky_relu, resize_to_64,
+    conv, conv_transpose, hwc3, instance_norm, leaky_relu, resize_to_64, shape_to_64,
     t2j_conv, t2j_conv_transpose,
 )
 
@@ -135,7 +135,7 @@ class LineartAnimeDetector:
         line = cv2.resize(line, (w, h), interpolation=cv2.INTER_CUBIC)
         detected = hwc3(line.clip(0, 255).astype(np.uint8))
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         detected = cv2.resize(detected, (out_hw[1], out_hw[0]),
                               interpolation=cv2.INTER_LINEAR)
         return 255 - detected

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcdms_tpu.pose.detectors.common import hwc3, resize_to_64
+from pcdms_tpu.pose.detectors.common import hwc3, resize_to_64, shape_to_64
 
 _GN_GROUPS = 32
 _GN_EPS = 1e-5
@@ -536,7 +536,7 @@ class MidasDetector:
             normal_image = hwc3(((normal * 127.5 + 127.5).clip(0, 255)
                                  .astype(np.uint8))[:, :, ::-1])
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         depth_image = cv2.resize(depth_image, (out_hw[1], out_hw[0]),
                                  interpolation=cv2.INTER_LINEAR)
         if depth_and_normal:

@@ -24,7 +24,7 @@ import numpy as np
 
 from pcdms_tpu.nn.layers import conv2d_init
 from pcdms_tpu.pose.detectors.common import (
-    conv, hwc3, resize_to_64, t2j_conv,
+    conv, hwc3, resize_to_64, shape_to_64, t2j_conv,
 )
 
 # (expand_ratio, out_ch, stride) per InvertedResidual, after expanding the
@@ -111,7 +111,7 @@ def mlsd_init(key, dtype=jnp.float32) -> Dict:
 
 
 def mlsd_apply(params: Dict, x):
-    """x: (1, 512, 512, 4) in [-1, 1] -> (1, 256, 256, 9) tpMap
+    """x: (1, H, W, 4) in [-1, 1] -> (1, H/2, W/2, 9) tpMap
     (center heat logit + 4 displacement + 4 aux channels)."""
     f = _cbr(x, params["stem"], stride=2)
     feats: List = []
@@ -272,19 +272,19 @@ class MLSDdetector:
         img = resize_to_64(img, detect_resolution)
         h, w = img.shape[:2]
 
-        resized = cv2.resize(img, (512, 512), interpolation=cv2.INTER_AREA)
-        feed = np.concatenate([resized, np.ones((512, 512, 1))], axis=-1)
+        # the reference feeds pred_lines the detect-resized image at its
+        # OWN (possibly non-square) resolution with ratio-1 coordinate
+        # mapping (mlsd/__init__.py:60: input_shape=[h, w])
+        feed = np.concatenate([img, np.ones((h, w, 1))], axis=-1)
         x = jnp.asarray(feed[None], jnp.float32) / 127.5 - 1.0
         tp_map = np.asarray(self._apply(self.params, x)[0], np.float32)
 
         out = np.zeros_like(img)
-        lines = 2.0 * decode_lines(tp_map, thr_v, thr_d)  # 256 -> 512
-        lines[:, 0::2] *= w / 512.0
-        lines[:, 1::2] *= h / 512.0
+        lines = 2.0 * decode_lines(tp_map, thr_v, thr_d)  # map -> image
         for x0, y0, x1, y1 in lines.astype(int):
             cv2.line(out, (x0, y0), (x1, y1), (255, 255, 255), 1)
 
         detected = hwc3(out[:, :, 0])
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         return cv2.resize(detected, (out_hw[1], out_hw[0]),
                           interpolation=cv2.INTER_LINEAR)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcdms_tpu.pose.detectors.common import conv, hwc3, resize_to_64
+from pcdms_tpu.pose.detectors.common import conv, hwc3, resize_to_64, shape_to_64
 from pcdms_tpu.pose.detectors.midas import _same_pad, up2_align_corners
 from pcdms_tpu.pose.detectors.yolox import fold_bn
 
@@ -99,7 +99,10 @@ def encoder_apply(p: Dict, x) -> List:
                              residual=residual)
         if si in (0, 1, 2, 4):
             skips.append(h)
-    head = _swish(_conv_same(h, p["head"]["kernel"], p["head"]["bias"]))
+    # the decoder consumes features[11] = the RAW conv_head output,
+    # before bn2/act2 (encoder.py:24-31, decoder.py:60) — no norm or
+    # activation here
+    head = _conv_same(h, p["head"]["kernel"], p["head"].get("bias"))
     skips.append(head)
     return skips
 
@@ -200,8 +203,12 @@ def _plain(sd, key: str) -> Dict:
 
 def convert_nnet(sd: Dict[str, np.ndarray]) -> Dict:
     enc = "encoder.original_model"
-    encoder: Dict = {"stem": _fold(sd, f"{enc}.conv_stem", f"{enc}.bn1"),
-                     "head": _fold(sd, f"{enc}.conv_head", f"{enc}.bn2")}
+    encoder: Dict = {
+        "stem": _fold(sd, f"{enc}.conv_stem", f"{enc}.bn1"),
+        # bn2 is NOT folded: the decoder reads conv_head's raw output
+        "head": {"kernel": jnp.asarray(np.transpose(np.asarray(
+            sd[f"{enc}.conv_head.weight"]), (2, 3, 1, 0)).copy())},
+    }
     for si, (_, _, e, _, reps) in enumerate(_STAGES):
         blocks = []
         for bi in range(reps):
@@ -252,8 +259,10 @@ def nnet_init(key, dtype=jnp.float32) -> Dict:
 
     keys = jax.random.split(key, 48)
     ki = iter(keys)
+    head = rconv(next(ki), 512, _HEAD_CH, 1)
+    head.pop("bias")                      # conv_head has no bias
     encoder: Dict = {"stem": rconv(next(ki), 3, _STEM_CH, 3),
-                     "head": rconv(next(ki), 512, _HEAD_CH, 1)}
+                     "head": head}
     cin = _STEM_CH
     for si, (k, _, e, cout, reps) in enumerate(_STAGES):
         blocks = []
@@ -327,6 +336,6 @@ class NormalBaeDetector:
         normal = ((out[:, :, :3] + 1.0) * 0.5).clip(0, 1)
         detected = hwc3((normal * 255.0).clip(0, 255).astype(np.uint8))
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         return cv2.resize(detected, (out_hw[1], out_hw[0]),
                           interpolation=cv2.INTER_LINEAR)

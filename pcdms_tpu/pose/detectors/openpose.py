@@ -28,7 +28,7 @@ import numpy as np
 
 from pcdms_tpu.nn.layers import conv2d_init
 from pcdms_tpu.pose.detectors.common import (
-    conv, hwc3, max_pool_2x2, resize_to_64, t2j_conv,
+    conv, hwc3, max_pool_2x2, resize_to_64, shape_to_64, t2j_conv,
 )
 
 # ---------------------------------------------------------------------------
@@ -523,7 +523,7 @@ class OpenposeDetector:
         else:
             canvas = np.zeros((h, w, 3), np.uint8)
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         canvas = cv2.resize(canvas, (out_hw[1], out_hw[0]),
                             interpolation=cv2.INTER_LINEAR)
         if output_type == "pil":

@@ -142,10 +142,12 @@ def assemble_people(all_peaks: List[List[Tuple]], paf: np.ndarray,
                     subset[j1][-2] += s
                     subset = np.delete(subset, j2, 0)
                 else:
-                    if subset[j1][jb] != id_b:
-                        subset[j1][jb] = id_b
-                        subset[j1][-1] += 1
-                        subset[j1][-2] += candidate[int(id_b), 2] + s
+                    # NB: unlike the found==1 branch, the reference runs
+                    # this unconditionally (body.py:205-208) — no
+                    # already-assigned guard
+                    subset[j1][jb] = id_b
+                    subset[j1][-1] += 1
+                    subset[j1][-2] += candidate[int(id_b), 2] + s
             elif k < 17:                    # new person (not ear-shoulder)
                 row20 = -1 * np.ones(20)
                 row20[ja], row20[jb] = id_a, id_b

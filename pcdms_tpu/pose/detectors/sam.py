@@ -72,7 +72,7 @@ def _decomposed_rel_pos(q, rel_h, rel_w, hw: Tuple[int, int]):
     rq = q.reshape(q.shape[0], h, w, -1)
     bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh)
     bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw)
-    return (bias_h[:, :, :, :, None] + bias_w[:, :, None, :, :]).reshape(
+    return (bias_h[:, :, :, :, None] + bias_w[:, :, :, None, :]).reshape(
         q.shape[0], h * w, h * w)
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcdms_tpu.pose.detectors.common import hwc3, resize_to_64
+from pcdms_tpu.pose.detectors.common import hwc3, resize_to_64, shape_to_64
 from pcdms_tpu.pose.detectors.sam import (
     SAM_CONFIGS, SamConfig, sam_encode_image, sam_predict_points,
 )
@@ -69,13 +69,15 @@ def calculate_stability_score(masks: np.ndarray, thresh: float,
 
 
 def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
-    """(N, H, W) bool -> (N, 4) xyxy; all-zero masks get [0,0,0,0]."""
+    """(N, H, W) bool -> (N, 4) xyxy with INCLUSIVE max-pixel edges
+    (utils/amg.py computes edges as coordinate-grid max); all-zero masks
+    get [0,0,0,0]."""
     n, h, w = masks.shape
     boxes = np.zeros((n, 4), np.float32)
     for i in range(n):
         ys, xs = np.nonzero(masks[i])
         if len(ys):
-            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+            boxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
     return boxes
 
 
@@ -320,6 +322,6 @@ class SamDetector:
         if canvas is None:
             canvas = np.zeros_like(img)
         detected = hwc3(canvas)
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         return cv2.resize(detected, (out_hw[1], out_hw[0]),
                           interpolation=cv2.INTER_LINEAR)

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcdms_tpu.pose.detectors.common import hwc3, resize_to_64
+from pcdms_tpu.pose.detectors.common import hwc3, resize_to_64, shape_to_64
 from pcdms_tpu.pose.detectors.midas import (
     _fusion_block, _layer_norm, _project_readout, _residual_conv_unit,
     conv2d, up2_align_corners,
@@ -594,6 +594,6 @@ class ZoeDetector:
             depth = np.power(depth, 2.2)
         detected = hwc3((depth * 255.0).clip(0, 255).astype(np.uint8))
 
-        out_hw = resize_to_64(img, image_resolution).shape[:2]
+        out_hw = shape_to_64(*img.shape[:2], image_resolution)
         return cv2.resize(detected, (out_hw[1], out_hw[0]),
                           interpolation=cv2.INTER_LINEAR)

@@ -31,16 +31,20 @@ class TorchUnetBlock(nn.Module):
         downconv = nn.Conv2d(input_nc, inner, 4, 2, 1, bias=False)
         downrelu = nn.LeakyReLU(0.2, True)
         uprelu = nn.ReLU(True)
+        # norm='none' inserts Identity MODULES into the Sequential
+        # (networks.py:507-530) — the key indices must match a real
+        # latest_net_G.pth
         if outermost:
             upconv = nn.ConvTranspose2d(inner * 2, outer, 4, 2, 1)
             model = [downconv, submodule, uprelu, upconv, nn.Tanh()]
         elif innermost:
             upconv = nn.ConvTranspose2d(inner, outer, 4, 2, 1, bias=False)
-            model = [downrelu, downconv, uprelu, upconv]
+            model = [downrelu, downconv, uprelu, upconv, nn.Identity()]
         else:
             upconv = nn.ConvTranspose2d(inner * 2, outer, 4, 2, 1,
                                         bias=False)
-            model = [downrelu, downconv, submodule, uprelu, upconv]
+            model = [downrelu, downconv, nn.Identity(), submodule, uprelu,
+                     upconv, nn.Identity()]
         self.model = nn.Sequential(*model)
 
     def forward(self, x):

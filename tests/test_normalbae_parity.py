@@ -115,7 +115,9 @@ class EffNetB5(nn.Module):
             h = stage(h)
             if si in (0, 1, 2, 4):
                 skips.append(h)
-        skips.append(F.silu(self.bn2(self.conv_head(h))))
+        # decoder consumes the raw conv_head output (features[11]),
+        # before bn2/act2
+        skips.append(self.conv_head(h))
         return skips
 
 

@@ -73,7 +73,7 @@ class EncAttention(nn.Module):
         rel_h = torch.einsum("bhwc,hkc->bhwk", rq, Rh)
         rel_w = torch.einsum("bhwc,wkc->bhwk", rq, Rw)
         attn = (attn.view(-1, H, W, H, W) + rel_h[:, :, :, :, None]
-                + rel_w[:, :, None, :, :]).view(-1, H * W, H * W)
+                + rel_w[:, :, :, None, :]).view(-1, H * W, H * W)
         attn = attn.softmax(-1)
         x = ((attn @ v).view(B, self.num_heads, H, W, -1)
              .permute(0, 2, 3, 1, 4).reshape(B, H, W, -1))
@@ -360,7 +360,7 @@ def test_amg_utilities():
     masks = np.zeros((2, 6, 7), bool)
     masks[0, 2:4, 1:5] = True
     boxes = amg.batched_mask_to_box(masks)
-    np.testing.assert_allclose(boxes[0], [1, 2, 5, 4])
+    np.testing.assert_allclose(boxes[0], [1, 2, 4, 3])   # inclusive edges
     np.testing.assert_allclose(boxes[1], [0, 0, 0, 0])
     # NMS keeps the highest-scoring of overlapping boxes
     b = np.array([[0, 0, 10, 10], [1, 1, 10, 10], [20, 20, 30, 30]],
