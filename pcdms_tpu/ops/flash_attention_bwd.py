@@ -246,7 +246,10 @@ def flash_bwd(q, k, v, out, l2, do, scale: float,
     kp, vp = jnp.pad(k, kpad), jnp.pad(v, kpad)
     dsum = jnp.pad(dsum, ((0, 0), (0, lq_pad - lq)))
     if l2.shape[1] != lq_pad:
-        l2 = jnp.pad(l2, ((0, 0), (0, lq_pad - l2.shape[1])))
+        # the forward pads lq by ITS block_q (up to 1024), which can
+        # exceed or undershoot this kernel's lq_pad — normalize by
+        # trimming to lq first (padded rows carry no signal)
+        l2 = jnp.pad(l2[:, :lq], ((0, 0), (0, lq_pad - lq)))
     masked = lk_pad != kv_len
 
     q_spec_i = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),

@@ -144,14 +144,21 @@ _WINDOW_BUDGET = 4 * 1024 * 1024  # f32 normalize temporaries per step
 
 
 def _pick_h_block(h: int, w: int, cin: int, co_b: int) -> int:
-    """Largest h block dividing h whose f32 accumulator AND per-window
+    """Largest h block DIVIDING h whose f32 accumulator AND per-window
     normalize temporaries fit their budgets (Mosaic allocates the
-    elementwise chain's intermediates on the kernel stack)."""
-    bh = h
-    while bh > 4 and (bh * w * co_b * 4 > _ACC_BUDGET
-                      or (bh + 2) * (w + 2) * cin * 4 > _WINDOW_BUDGET):
-        bh //= 2
-    return bh
+    elementwise chain's intermediates on the kernel stack). Halving
+    alone can land on a non-divisor (e.g. h=14 -> 3), which would leave
+    the last h % bh output rows unwritten — only divisors are
+    considered."""
+    def fits(bh: int) -> bool:
+        return (bh * w * co_b * 4 <= _ACC_BUDGET
+                and (bh + 2) * (w + 2) * cin * 4 <= _WINDOW_BUDGET)
+
+    best = 1
+    for bh in range(1, h + 1):
+        if h % bh == 0 and fits(bh):
+            best = bh
+    return best
 
 
 @functools.partial(

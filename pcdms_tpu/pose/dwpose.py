@@ -172,14 +172,25 @@ class DWposeDetector:
     def __call__(self, image_rgb: np.ndarray,
                  render_size: Optional[Tuple[int, int]] = None):
         """image_rgb: (H, W, 3) uint8. Returns (skeleton_render,
-        openpose_kpts (N, 18, 2) normalized, scores (N, 18))."""
+        openpose_kpts (N, 18, 2) normalized, scores (N, 18)). The render
+        includes the 21-point hand skeletons like the reference's
+        draw_pose (dwpose/__init__.py:19-31: body + hands, face
+        disabled); low-score hand points are masked to -1
+        (un_visible, dwpose/__init__.py:67-68)."""
         h, w = image_rgb.shape[:2]
         boxes, _ = self.detect_persons(image_rgb)
-        all_k, all_s = [], []
+        all_k, all_s, hands = [], [], []
         for box in boxes:
             pts, scores = self.estimate_pose(image_rgb, box)
             all_k.append(pts[:17])
             all_s.append(scores[:17])
+            # COCO-wholebody 133 layout: 91:112 left hand, 112:133 right
+            norm = pts / np.array([w, h], np.float32)
+            for lo, hi in ((91, 112), (112, 133)):
+                if pts.shape[0] >= hi:
+                    hk = norm[lo:hi].copy()
+                    hk[scores[lo:hi] < 0.3] = -1.0
+                    hands.append(hk)
         if not all_k:
             kpts = np.zeros((0, 18, 2), np.float32)
             scores18 = np.zeros((0, 18), np.float32)
@@ -187,7 +198,8 @@ class DWposeDetector:
             k = np.stack(all_k) / np.array([w, h], np.float32)
             kpts, scores18 = coco_to_openpose(k, np.stack(all_s))
         rh, rw = render_size or (h, w)
-        render = render_pose(kpts, rh, rw, visible=scores18 > 0.3)
+        render = render_pose(kpts, rh, rw, visible=scores18 > 0.3,
+                             hands=hands)
         return render, kpts, scores18
 
 

@@ -223,7 +223,7 @@ class Processor:
 
     _CTOR_KEYS = ("det_onnx", "pose_onnx", "det_torch", "pose_torch",
                   "weights", "coarse_weights", "hand_weights",
-                  "face_weights")
+                  "face_weights", "pix2pix_weights")
 
     def __call__(self, image, to_pil: bool = True):
         out = self._fn(image, **{k: v for k, v in self.params.items()

@@ -131,7 +131,6 @@ def draw_facepose(canvas: np.ndarray,
     reference: open_pose/util.py:172-199 — the dwpose variant keeps this
     commented out, so render_pose only uses it for the openpose family)."""
     _require_cv2()
-    import cv2
     h, w, _ = canvas.shape
     for peaks in faces:
         for x, y in np.asarray(peaks, np.float32):

@@ -178,3 +178,42 @@ class TestDetectorPipeline:
         render, kpts, scores = det(img)
         assert kpts.shape == (0, 18, 2)
         assert (render == 0).all()
+
+
+def test_call_renders_hand_skeletons():
+    """The reference's draw_pose renders body AND 21-point hands
+    (dwpose/__init__.py:19-31); wholebody indices 91:112 / 112:133 must
+    reach the renderer with low-score points masked to -1."""
+    from pcdms_tpu.pose.dwpose import DWposeDetector
+
+    det = DWposeDetector.__new__(DWposeDetector)
+    det.detect_persons = lambda img: (np.array([[4.0, 4.0, 60.0, 90.0]]),
+                                      np.array([0.9]))
+
+    def fake_pose(img, box):
+        pts = np.full((133, 2), -10.0, np.float32)
+        scores = np.zeros(133, np.float32)
+        # a visible body frame
+        body = np.array([[32, 10], [34, 14], [30, 14], [36, 18], [28, 18],
+                         [40, 26], [24, 26], [44, 40], [20, 40], [46, 52],
+                         [18, 52], [38, 56], [26, 56], [40, 74], [24, 74],
+                         [40, 90], [24, 90]], np.float32)
+        pts[:17] = body
+        scores[:17] = 0.9
+        # right-hand chain near (46, 52)
+        for i in range(21):
+            pts[91 + i] = [46 + i % 4, 52 + i // 4]
+        scores[91:112] = 0.9
+        return pts, scores
+
+    det.estimate_pose = fake_pose
+    img = np.zeros((96, 64, 3), np.uint8)
+    render_hands, _, _ = det(img)
+
+    det.estimate_pose = lambda img, box: (
+        (lambda p, s: (p, s))(*fake_pose(img, box)[:1],
+                              np.concatenate([fake_pose(img, box)[1][:91],
+                                              np.zeros(42, np.float32)])))
+    render_nohands, _, _ = det(img)
+    # hand edges/dots add pixels the body-only render lacks
+    assert (render_hands != render_nohands).any()

@@ -57,3 +57,31 @@ class TestFlashBwdKernels:
                                    atol=2e-3, rtol=2e-3)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_bwd_accepts_wider_forward_lse_padding():
+    """The forward pads lq by ITS block_q (up to 1024); flash_bwd's own
+    lq_pad can be smaller (512 default), which used to produce a
+    negative jnp.pad width. lq=520 with a fwd 1024-block LSE exercises
+    the mismatch."""
+    from pcdms_tpu.ops.flash_attention_bwd import flash_bwd
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    bh, lq, lk, d = 1, 520, 640, 64
+    q = jax.random.normal(kq, (bh, lq, d), jnp.float32)
+    k = jax.random.normal(kk, (bh, lk, d), jnp.float32)
+    v = jax.random.normal(kv, (bh, lk, d), jnp.float32)
+    do = jax.random.normal(kd, (bh, lq, d), jnp.float32)
+    scale = 0.125
+    out = attention_reference(q[:, None], k[:, None], v[:, None],
+                              scale)[:, 0]
+    # forward-style LSE padded to round_up(520, 1024) = 1024 columns
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    l2 = jnp.log2(jnp.sum(jnp.exp2(s * 1.4426950408889634), axis=-1))
+    l2 = jnp.pad(l2, ((0, 0), (0, 1024 - lq)))
+    dq, dk, dv = flash_bwd(q, k, v, out, l2, do, scale, block_q=512,
+                           block_k=1024, interpret=True)
+    assert dq.shape == q.shape and dk.shape == k.shape
+    assert bool(jnp.isfinite(dq).all() and jnp.isfinite(dk).all()
+                and jnp.isfinite(dv).all())

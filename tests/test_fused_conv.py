@@ -116,3 +116,13 @@ class TestBlockPicker:
         assert fits_fused_conv(64, 128, 320)
         assert fits_fused_conv(16, 32, 2560)
         assert not fits_fused_conv(64, 128, 960)     # 16.5MB slab
+
+
+def test_pick_h_block_always_divides():
+    """Halving alone can land on a non-divisor (h=14 -> 3), leaving
+    h % bh rows unwritten; the picker must return divisors only."""
+    from pcdms_tpu.ops.fused_conv import _pick_h_block
+    for h in (14, 16, 30, 17, 64):
+        for w, cin, co_b in ((128, 1280, 128), (32, 320, 320)):
+            bh = _pick_h_block(h, w, cin, co_b)
+            assert h % bh == 0, (h, bh)
