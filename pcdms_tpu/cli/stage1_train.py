@@ -51,7 +51,10 @@ def build_models(args):
         from pcdms_tpu.compat.load import load_clip_vision, load_prior
         prior = (load_prior(args.prior_path) if args.prior_path
                  else prior_init(k1, prior_cfg))
-        clip = load_clip_vision(args.image_encoder_path)
+        # synthetic batches never touch the frozen encoder — don't
+        # require (or load) its checkpoint for benchmark runs
+        clip = None if args.synthetic_data else \
+            load_clip_vision(args.image_encoder_path)
     return prior_cfg, prior, clip
 
 
@@ -99,7 +102,7 @@ def make_batches(args, clip_params, clip_cfg=None):
                  for k in ("source_image", "target_image")]
         cache = build_or_load(
             args.cache_embeddings,
-            f"clip_{args.img_width}x{args.img_height}", encode,
+            f"s1_clip_{args.img_width}x{args.img_height}", encode,
             lambda p: clip_preprocess(load_image(p, size)), paths,
             batch_size=args.train_batch_size)
         for batch in batch_iterator(dataset, args.train_batch_size,
@@ -130,7 +133,9 @@ def main(argv=None):
 
     prior_cfg, prior, clip = build_models(args)
 
-    from pcdms_tpu.train.loop import run_training
+    from pcdms_tpu.train.loop import (
+        make_tensorboard_writer, run_training,
+    )
     from pcdms_tpu.train.stage1 import stage1_loss_fn
 
     loss_fn = stage1_loss_fn(prior_cfg, noise_offset=args.noise_offset,
@@ -145,9 +150,7 @@ def main(argv=None):
                  resume_from_checkpoint=args.resume_from_checkpoint,
                  profile_dir=args.profile_dir,
                  tensorboard_writer=(
-                     __import__("pcdms_tpu.train.loop",
-                                fromlist=["make_tensorboard_writer"])
-                     .make_tensorboard_writer(args.output_dir + "/logs")
+                     make_tensorboard_writer(args.output_dir + "/logs")
                      if args.report_to == "tensorboard" else None))
 
 

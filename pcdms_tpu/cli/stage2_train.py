@@ -78,8 +78,11 @@ def build_models(args):
         unet = _grow_conv_in(unet, unet_cfg, k1)
         unet = _maybe_init_class_embedding(unet, unet_cfg, k1)
         vae = load_sd_vae(args.pretrained_model_name_or_path)
-        clip = load_clip_vision(args.image_encoder_g_path)
-        dino = load_dinov2(args.image_encoder_p_path)
+        if args.synthetic_data:
+            clip = dino = None      # synthetic features: encoders unused
+        else:
+            clip = load_clip_vision(args.image_encoder_g_path)
+            dino = load_dinov2(args.image_encoder_p_path)
 
     trainable = {
         "unet": unet,
@@ -166,14 +169,14 @@ def make_batches(args, clip_params, dino_params, clip_cfg=None,
         # (~0.8 MB/row at giant scale); the CLIP head rows are tiny
         dino_cache = build_or_load(
             args.cache_embeddings,
-            f"dino_{args.img_width}x{args.img_height}",
+            f"s2_dino_{args.img_width}x{args.img_height}",
             lambda px: np.asarray(dino_features(
                 dino_params, jnp.asarray(px), cfg=dino_cfg)),
             pre, s_paths, batch_size=args.train_batch_size,
             store_dtype=np.float16)
         clip_cache = build_or_load(
             args.cache_embeddings,
-            f"clip_{args.img_width}x{args.img_height}",
+            f"s2_clip_{args.img_width}x{args.img_height}",
             lambda px: np.asarray(clip_image_embed(
                 clip_params, jnp.asarray(px), cfg=clip_cfg)),
             pre, t_paths, batch_size=args.train_batch_size)
@@ -214,7 +217,9 @@ def main(argv=None):
 
     unet_cfg, trainable, vae, clip, dino = build_models(args)
 
-    from pcdms_tpu.train.loop import run_training
+    from pcdms_tpu.train.loop import (
+        make_tensorboard_writer, run_training,
+    )
     from pcdms_tpu.train.stage2 import stage2_loss_fn
 
     loss_fn = stage2_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
@@ -229,9 +234,7 @@ def main(argv=None):
                  resume_from_checkpoint=args.resume_from_checkpoint,
                  profile_dir=args.profile_dir,
                  tensorboard_writer=(
-                     __import__("pcdms_tpu.train.loop",
-                                fromlist=["make_tensorboard_writer"])
-                     .make_tensorboard_writer(args.output_dir + "/logs")
+                     make_tensorboard_writer(args.output_dir + "/logs")
                      if args.report_to == "tensorboard" else None))
 
 

@@ -59,7 +59,8 @@ def build_models(args):
         unet = load_sd_unet(args.pretrained_model_name_or_path)
         unet = _grow_conv_in(unet, unet_cfg, k1)   # 4ch -> 8ch
         vae = load_sd_vae(args.pretrained_model_name_or_path)
-        dino = load_dinov2(args.image_encoder_p_path)
+        dino = None if args.synthetic_data else \
+            load_dinov2(args.image_encoder_p_path)
     trainable = {"unet": unet, "image_proj": image_proj_mlp_init(k4)}
     return unet_cfg, trainable, vae, dino
 
@@ -106,7 +107,7 @@ def make_batches(args, dino_params, dino_cfg=None):
         size = (args.img_width, args.img_height)
         dino_cache = build_or_load(
             args.cache_embeddings,
-            f"dino_{args.img_width}x{args.img_height}",
+            f"s3_dino_{args.img_width}x{args.img_height}",
             lambda px: np.asarray(dino_features(
                 dino_params, jnp.asarray(px), cfg=dino_cfg)),
             lambda p: clip_preprocess(load_image(p, size)),
@@ -140,7 +141,9 @@ def main(argv=None):
 
     unet_cfg, trainable, vae, dino = build_models(args)
 
-    from pcdms_tpu.train.loop import run_training
+    from pcdms_tpu.train.loop import (
+        make_tensorboard_writer, run_training,
+    )
     from pcdms_tpu.train.stage3 import stage3_loss_fn
 
     loss_fn = stage3_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
@@ -155,9 +158,7 @@ def main(argv=None):
                  resume_from_checkpoint=args.resume_from_checkpoint,
                  profile_dir=args.profile_dir,
                  tensorboard_writer=(
-                     __import__("pcdms_tpu.train.loop",
-                                fromlist=["make_tensorboard_writer"])
-                     .make_tensorboard_writer(args.output_dir + "/logs")
+                     make_tensorboard_writer(args.output_dir + "/logs")
                      if args.report_to == "tensorboard" else None))
 
 

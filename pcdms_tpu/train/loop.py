@@ -55,13 +55,17 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
     t_last = time.perf_counter()
     examples_since_log = 0
     step = start_step
+    last_saved = start_step if start_step else None
+    trace_open = False
     for batch in batches:
         if step >= max_steps:
             break
         if profile_dir and step == start_step + 3:
             jax.profiler.start_trace(profile_dir)
+            trace_open = True
         if profile_dir and step == start_step + 6:
             jax.profiler.stop_trace()
+            trace_open = False
 
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -90,9 +94,17 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
 
         if output_dir and step % checkpointing_steps == 0:
             ckpt.save_checkpoint(output_dir, step, state)
+            last_saved = step
             logger.info("checkpoint saved at step %d", step)
 
-    if output_dir:
+    if trace_open:
+        # short runs can end before the stop marker at start_step + 6;
+        # flush the trace so --profile_dir always yields a usable profile
+        jax.profiler.stop_trace()
+    if output_dir and step != last_saved:
+        # skip when the in-loop cadence (or a resumed, already-finished
+        # run) saved this exact step — orbax raises
+        # StepAlreadyExistsError on duplicates
         ckpt.save_checkpoint(output_dir, step, state)
     return state
 

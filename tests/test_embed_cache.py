@@ -180,4 +180,4 @@ class TestStage2CachedBatches:
         for k in ("st_image", "masked_image", "pose_image"):
             np.testing.assert_array_equal(cached[k], plain[k])
         assert os.path.exists(os.path.join(str(tmp_path / "c"),
-                                           "dino_64x64", "data.npy"))
+                                           "s2_dino_64x64", "data.npy"))

@@ -218,3 +218,59 @@ class TestGradAccumulation:
         state, _ = step(state, stage1_batch(), jax.random.PRNGKey(2))
         p2 = jax.tree.leaves(state["params"])[0]
         assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+
+
+class TestRunTrainingCheckpointCadence:
+    def test_final_save_skipped_when_cadence_already_saved(self, tmp_path):
+        """When max_train_steps is a multiple of checkpointing_steps the
+        in-loop save covers the final step; the closing save must not
+        re-save it (orbax raises StepAlreadyExistsError on duplicates),
+        and resuming an already-finished run must also be a no-op."""
+        import numpy as np
+        from pcdms_tpu.train import checkpoint as ckpt
+        from pcdms_tpu.train.common import TrainConfig
+        from pcdms_tpu.train.loop import run_training
+
+        def loss_fn(params, batch, rng):
+            loss = jnp.mean((params["w"] * batch["x"]) ** 2)
+            return loss, {"loss": loss}
+
+        params = {"w": jnp.ones((4,))}
+        cfg = TrainConfig(learning_rate=1e-3, max_train_steps=4)
+
+        def batches():
+            while True:
+                yield {"x": np.ones((2, 4), np.float32)}
+
+        out = str(tmp_path)
+        run_training(loss_fn, params, batches(), cfg,
+                     output_dir=out, checkpointing_steps=2, log_every=100)
+        assert ckpt.latest_step(out) == 4
+
+        # resumed, already-finished run: loop body never executes and the
+        # restored step must not be re-saved
+        run_training(loss_fn, params, batches(), cfg,
+                     output_dir=out, checkpointing_steps=2, log_every=100,
+                     resume_from_checkpoint=True)
+        assert ckpt.latest_step(out) == 4
+
+    def test_final_save_written_off_cadence(self, tmp_path):
+        import numpy as np
+        from pcdms_tpu.train import checkpoint as ckpt
+        from pcdms_tpu.train.common import TrainConfig
+        from pcdms_tpu.train.loop import run_training
+
+        def loss_fn(params, batch, rng):
+            loss = jnp.mean((params["w"] * batch["x"]) ** 2)
+            return loss, {"loss": loss}
+
+        cfg = TrainConfig(learning_rate=1e-3, max_train_steps=3)
+
+        def batches():
+            while True:
+                yield {"x": np.ones((2, 4), np.float32)}
+
+        out = str(tmp_path)
+        run_training(loss_fn, {"w": jnp.ones((4,))}, batches(), cfg,
+                     output_dir=out, checkpointing_steps=2, log_every=100)
+        assert ckpt.latest_step(out) == 3
