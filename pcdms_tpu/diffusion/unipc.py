@@ -36,8 +36,13 @@ def unipc_timesteps(num_train_timesteps: int, num_inference_steps: int,
     if spacing == "linspace":
         return np.linspace(0, T - 1, N + 1).round()[::-1][:-1].astype(np.int64)
     if spacing == "leading":
-        ratio = T // N
-        return ((np.arange(N) * ratio).round()[::-1] + 1).astype(np.int64)
+        # diffusers UniPCMultistepScheduler 'leading': ratio over N+1
+        # points with steps_offset 1 (NOT the single-step DDIM formula;
+        # diffusers is absent here, so this follows its published
+        # set_timesteps algorithm rather than a numeric cross-check)
+        ratio = T // (N + 1)
+        return ((np.arange(N + 1) * ratio).round()[::-1][:-1]
+                + 1).astype(np.int64)
     raise ValueError(spacing)
 
 

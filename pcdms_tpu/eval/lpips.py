@@ -134,7 +134,10 @@ def lpips_from_disk(weights_path: str, files_1, files_2, img_size,
                       for f in files_1[i:i + batch_size]])
         b = np.stack([_load_resized(f, img_size)
                       for f in files_2[i:i + batch_size]])
+        # the reference feeds [0, 1] images with lpips's default
+        # normalize=False (metrics.py:484-494: imread/255 straight into
+        # model.forward) — i.e. NO [-1, 1] rescale; reproduce exactly
         results.append(np.asarray(dist(
-            jnp.asarray(a * 2 - 1, jnp.float32),
-            jnp.asarray(b * 2 - 1, jnp.float32))))
+            jnp.asarray(a, jnp.float32),
+            jnp.asarray(b, jnp.float32))))
     return float(np.mean(np.concatenate(results)))

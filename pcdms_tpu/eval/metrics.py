@@ -258,10 +258,15 @@ class FID:
         self.batch_size = batch_size
 
     def activation_statistics(self, images: np.ndarray):
+        # the reference uses only n_batches * batch_size images,
+        # dropping the ragged tail (metrics.py:170-184) — statistics
+        # must match for cached npz interchangeability
+        batch_size = min(self.batch_size, len(images))
+        n_used = (len(images) // batch_size) * batch_size
         feats = []
-        for i in range(0, len(images), self.batch_size):
+        for i in range(0, n_used, batch_size):
             feats.append(np.asarray(
-                self.feature_fn(images[i:i + self.batch_size])))
+                self.feature_fn(images[i:i + batch_size])))
         feats = np.concatenate(feats, axis=0)
         mu = feats.mean(axis=0)
         sigma = np.cov(feats, rowvar=False)
