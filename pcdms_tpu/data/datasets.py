@@ -230,6 +230,11 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
     rng = np.random.default_rng(seed)
     epoch = 0
     n = len(dataset)
+    if drop_last and n < batch_size:
+        raise ValueError(
+            f"dataset has {n} examples < batch_size {batch_size} with "
+            "drop_last=True: no batch can ever be formed (with "
+            "epochs=None this would spin forever)")
     while epochs is None or epoch < epochs:
         order = rng.permutation(n) if shuffle else np.arange(n)
         end = n - (n % batch_size) if drop_last else n

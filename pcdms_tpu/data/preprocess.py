@@ -42,8 +42,13 @@ def clip_preprocess(img, size: int = 224) -> np.ndarray:
         img = Image.fromarray(img.astype(np.uint8))
     w, h = img.size
     short = min(w, h)
-    scale = size / short
-    new_w, new_h = round(w * scale), round(h * scale)
+    # HF get_resize_output_image_size: shortest edge = size, long edge
+    # TRUNCATED via int(size * long / short) — round() shifts the center
+    # crop on non-square inputs
+    if w <= h:
+        new_w, new_h = size, int(size * h / w)
+    else:
+        new_w, new_h = int(size * w / h), size
     img = img.resize((new_w, new_h), Image.BICUBIC)
     left = (new_w - size) // 2
     top = (new_h - size) // 2

@@ -128,7 +128,9 @@ def _group_affine(s1, s2, n, scale, shift, num_groups: int, eps: float):
     gs1 = s1.reshape(b, g, ch // g).sum(-1)
     gs2 = s2.reshape(b, g, ch // g).sum(-1)
     mean = gs1 / n
-    var = gs2 / n - mean * mean
+    # the single-pass E[x^2] - mean^2 form can cancel slightly negative
+    # in f32 for near-constant groups with large mean -> NaN via rsqrt
+    var = jnp.maximum(gs2 / n - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     a_c = jnp.repeat(rstd, ch // g, axis=1)              # (B, C)
     m_c = jnp.repeat(mean, ch // g, axis=1)

@@ -84,20 +84,16 @@ def attention_apply(params, x, context=None, *, heads: int,
         v = linear_apply(params["to_v"], ctx)
 
     if use_flash:
-        head_dim = q.shape[-1] // heads
-        qh = q.reshape(b, lq, heads, head_dim).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
-        o = flash_attention(qh, kh, vh).transpose(0, 2, 1, 3)
-        o = o.reshape(b, lq, heads * head_dim)
+        attn_fn = flash_attention
     else:
         from pcdms_tpu.ops.flash_attention import attention_reference
-        head_dim = q.shape[-1] // heads
-        qh = q.reshape(b, lq, heads, head_dim).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
-        o = attention_reference(qh, kh, vh).transpose(0, 2, 1, 3)
-        o = o.reshape(b, lq, heads * head_dim)
+        attn_fn = attention_reference
+    head_dim = q.shape[-1] // heads
+    qh = q.reshape(b, lq, heads, head_dim).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, heads, head_dim).transpose(0, 2, 1, 3)
+    o = attn_fn(qh, kh, vh).transpose(0, 2, 1, 3)
+    o = o.reshape(b, lq, heads * head_dim)
 
     return linear_apply(params["to_out"], o)
 

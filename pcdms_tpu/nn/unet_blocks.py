@@ -144,7 +144,9 @@ def down_block_init(key, in_ch: int, out_ch: int, temb_dim: int,
                     num_layers: int, *, cross_attn: bool, context_dim: int,
                     head_dim: int, add_downsample: bool, dtype=jnp.float32):
     keys = jax.random.split(key, 2 * num_layers + 1)
-    params = {"resnets": [], "attentions": [] if cross_attn else None}
+    params = {"resnets": []}
+    if cross_attn:
+        params["attentions"] = []
     for i in range(num_layers):
         rin = in_ch if i == 0 else out_ch
         params["resnets"].append(
@@ -154,8 +156,6 @@ def down_block_init(key, in_ch: int, out_ch: int, temb_dim: int,
                 transformer2d_init(keys[2 * i + 1], out_ch,
                                    out_ch // head_dim, head_dim,
                                    context_dim, dtype=dtype))
-    if not cross_attn:
-        params.pop("attentions")
     if add_downsample:
         params["downsampler"] = downsample_init(keys[-1], out_ch, dtype)
     return params

@@ -169,3 +169,24 @@ class TestSyntheticTrainingData:
         b = next(synthetic_batches(self._args()))
         assert b["target_image"].shape == (2, 64, 64, 3)
         assert b["gen_image"].shape == (2, 64, 64, 3)
+
+
+def test_clip_preprocess_matches_hf_processor():
+    """Pixel-exact parity with transformers' CLIPImageProcessor,
+    including non-square inputs where the long resize edge is TRUNCATED
+    (int), not rounded — rounding shifts the center crop."""
+    pytest.importorskip("transformers")
+    from PIL import Image
+    from transformers import CLIPImageProcessor
+
+    from pcdms_tpu.data.preprocess import clip_preprocess
+
+    proc = CLIPImageProcessor(size={"shortest_edge": 224},
+                              crop_size={"height": 224, "width": 224})
+    rng = np.random.default_rng(0)
+    for shape in ((750, 1101), (640, 480), (224, 224), (333, 500)):
+        img = rng.integers(0, 255, (*shape, 3), dtype=np.uint8)
+        hf = proc(Image.fromarray(img), return_tensors="np")[
+            "pixel_values"][0]
+        ours = clip_preprocess(img).transpose(2, 0, 1)
+        np.testing.assert_array_equal(ours, hf)
