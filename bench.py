@@ -64,6 +64,19 @@ def main():
     dino = jax.random.normal(k5, (batch, 257, 1536), jnp.float32)
     t_embed = jnp.ones((batch, 1, 1024), jnp.float32)
 
+    # shard the batch over all local chips (the jitted pipeline follows
+    # the input sharding) so dividing by n_chips below is honest on
+    # multi-chip hosts; with one chip (the tunnel) this is a no-op
+    n_chips = jax.device_count()
+    if n_chips > 1 and batch % n_chips == 0:
+        from pcdms_tpu.parallel.mesh import batch_sharding, make_mesh
+        sharding = batch_sharding(make_mesh())
+        vae_image, st_pose, dino, t_embed = (
+            jax.device_put(x, sharding)
+            for x in (vae_image, st_pose, dino, t_embed))
+    else:
+        n_chips = 1
+
     def run(seed):
         return stage2_generate(
             params, vae_image, st_pose, dino, t_embed,
@@ -73,17 +86,17 @@ def main():
     # Reduce on device and read ONE scalar back: under the remote-TPU
     # tunnel block_until_ready() does not actually block, and transferring
     # full images through the relay would dominate the measurement.
-    checksum = jax.jit(jnp.sum)
+    from pcdms_tpu.utils.profiling import sync
 
-    # warmup / compile (the float() read is the real synchronization)
-    float(checksum(run(0)))
+    # warmup / compile (the scalar read inside sync() is the real
+    # synchronization)
+    sync(run(0))
 
     t0 = time.perf_counter()
     for i in range(reps):
-        float(checksum(run(i + 1)))
+        sync(run(i + 1))
     dt = time.perf_counter() - t0
 
-    n_chips = jax.device_count()
     imgs_per_sec_chip = (batch * reps) / dt / n_chips
     # estimated A100 img/s/GPU at this workload; derivation in BASELINE.md
     # ("A100 throughput baseline used by bench.py")

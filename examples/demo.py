@@ -77,6 +77,14 @@ def main():
     dino_cfg = dinov2_giant_config()
     key = jax.random.PRNGKey(args.seed)
 
+    if not args.random_init:
+        missing = [f for f in ("ckpt", "sd", "dinov2")
+                   if getattr(args, f) is None]
+        if missing:
+            raise SystemExit(
+                "the checkpoint path(s) --" + " --".join(missing)
+                + " are required without --random_init (pass "
+                "--random_init for a weight-free smoke run)")
     if args.random_init:
         ks = jax.random.split(key, 4)
         from pcdms_tpu.models.projections import (

@@ -32,8 +32,23 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     try:
         if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
+            # concurrent first-use builds (DataLoader / pytest workers)
+            # must not race g++'s in-place write against another
+            # process's dlopen: build into a private temp dir and
+            # os.replace (atomic) into place
+            import shutil
+            import tempfile
+            with tempfile.TemporaryDirectory(dir=_NATIVE_DIR) as tmp:
+                for f in os.listdir(_NATIVE_DIR):
+                    p = os.path.join(_NATIVE_DIR, f)
+                    if os.path.isfile(p):
+                        shutil.copy2(p, tmp)
+                    elif f == "src":
+                        shutil.copytree(p, os.path.join(tmp, f))
+                subprocess.run(["make", "-C", tmp], check=True,
+                               capture_output=True)
+                os.replace(os.path.join(
+                    tmp, os.path.basename(_LIB_PATH)), _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
     except (OSError, subprocess.CalledProcessError):
         _build_failed = True
@@ -133,7 +148,11 @@ def render_pose(keypoints: np.ndarray, height: int, width: int,
         keypoints = keypoints[None]
     if visible is None:
         visible = (keypoints > 0.01).all(axis=-1)
-    visible = np.ascontiguousarray(visible.astype(np.uint8))
+    # bool-cast BEFORE uint8: float confidence masks (e.g. DWPose
+    # scores) would otherwise truncate 0.9 -> 0 on the native path while
+    # the Python fallback treats any nonzero as visible
+    visible = np.ascontiguousarray(
+        np.asarray(visible).astype(bool).astype(np.uint8))
     if lib is None:
         from pcdms_tpu.pose.skeleton import render_pose as py_render
         return py_render(keypoints, height, width, visible.astype(bool))

@@ -78,11 +78,13 @@ def main():
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
     loss = float(metrics["loss"])        # sync
     dt = (time.perf_counter() - t0) / STEPS
-    n_chips = jax.device_count()
+    # the step here is a plain jit without a mesh: everything runs on one
+    # device, so per-chip == per-run regardless of host chip count
     print(f"loss {loss0:.4f} -> {loss:.4f}", flush=True)
     print(f"train step {dt * 1e3:.0f}ms  "
-          f"{B / dt / n_chips:.2f} examples/s/chip "
-          f"({RES}x{2 * RES} canvas, batch {B})", flush=True)
+          f"{B / dt:.2f} examples/s/chip "
+          f"({RES}x{2 * RES} canvas, batch {B}, single device)",
+          flush=True)
 
 
 if __name__ == "__main__":

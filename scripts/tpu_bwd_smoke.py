@@ -17,7 +17,8 @@ SCALE = 0.125
 
 
 def sync(x):
-    return float(jax.jit(jnp.sum)(x.astype(jnp.float32)))
+    from pcdms_tpu.utils.profiling import sync
+    return sync(x.astype(jnp.float32))
 
 
 def main():
