@@ -5,8 +5,9 @@ vendors in /root/reference/src/controlnet_aux/ — HED, PiDiNet, LineArt,
 LineArt-Anime, M-LSD, the OpenPose body/hand/face CPMs, the DWPose pair
 (YOLOX-l + RTMPose-l), MiDaS DPT-hybrid depth, LeReS
 (ResNeXt101 + FFM decoder), NormalBae (EfficientNet-B5 + NNET), and
-ZoeDepth (BEiT-L DPT + metric bins), and SAM (vit_h/l/b encoders +
-two-way mask decoder + automatic mask generator) — as NHWC param
+ZoeDepth (BEiT-L DPT + metric bins), and SAM (vit_h/l/b/t encoders
+incl. the MobileSAM TinyViT, + two-way mask decoder + automatic mask
+generator) — as NHWC param
 pytrees with torch-checkpoint converters, plus the LeReS++ pix2pix
 merge network and boosting protocol. Only mediapipe_face (external
 mediapipe dependency) stays gated in pcdms_tpu.pose.processors; PCDMs
@@ -54,6 +55,9 @@ from pcdms_tpu.pose.detectors.sam import (
 from pcdms_tpu.pose.detectors.sam_amg import (
     SamAutomaticMaskGenerator, SamDetector,
 )
+from pcdms_tpu.pose.detectors.tiny_vit import (
+    convert_tiny_vit, tiny_vit_apply, tiny_vit_init,
+)
 from pcdms_tpu.pose.detectors.zoe import (
     ZoeDetector, convert_zoedepth, zoe_apply, zoe_init,
 )
@@ -83,4 +87,5 @@ __all__ = [
     "ZoeDetector", "convert_zoedepth", "zoe_apply", "zoe_init",
     "SAM_CONFIGS", "SamConfig", "convert_sam", "sam_init",
     "SamAutomaticMaskGenerator", "SamDetector",
+    "convert_tiny_vit", "tiny_vit_apply", "tiny_vit_init",
 ]

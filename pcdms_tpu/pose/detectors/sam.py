@@ -45,6 +45,9 @@ SAM_CONFIGS = {
     "vit_h": SamConfig(1280, 32, 16, (7, 15, 23, 31)),
     "vit_l": SamConfig(1024, 24, 16, (5, 11, 17, 23)),
     "vit_b": SamConfig(768, 12, 12, (2, 5, 8, 11)),
+    # MobileSAM TinyViT-5M: the encoder params carry their own structure
+    # (params["encoder"]["tiny"]) — dim/depth here are informational
+    "vit_t": SamConfig(320, 10, 10, (), 1024),
 }
 
 
@@ -313,6 +316,9 @@ def sam_encode_image(params: Dict, x, cfg: SamConfig):
     applied here (sam.py:28-48)."""
     x = (x - jnp.asarray(_PIXEL_MEAN, x.dtype)) / jnp.asarray(
         _PIXEL_STD, x.dtype)
+    if "tiny" in params["encoder"]:
+        from pcdms_tpu.pose.detectors.tiny_vit import tiny_vit_apply
+        return tiny_vit_apply(params["encoder"]["tiny"], x)
     return image_encoder_apply(params["encoder"], x, cfg)
 
 
@@ -345,11 +351,20 @@ def _lin(sd, key):
 def convert_sam(sd: Dict[str, np.ndarray],
                 cfg: Optional[SamConfig] = None) -> Tuple[Dict, SamConfig]:
     """Official sam_vit_{h,l,b} state dict -> (params, config)."""
+    tiny = "image_encoder.layers.0.blocks.0.conv1.c.weight" in sd
     if cfg is None:
-        dim = np.asarray(sd["image_encoder.patch_embed.proj.weight"]).shape[0]
-        cfg = {1280: SAM_CONFIGS["vit_h"], 1024: SAM_CONFIGS["vit_l"],
-               768: SAM_CONFIGS["vit_b"]}[dim]
+        if tiny:
+            cfg = SAM_CONFIGS["vit_t"]
+        else:
+            dim = np.asarray(
+                sd["image_encoder.patch_embed.proj.weight"]).shape[0]
+            cfg = {1280: SAM_CONFIGS["vit_h"], 1024: SAM_CONFIGS["vit_l"],
+                   768: SAM_CONFIGS["vit_b"]}[dim]
     enc = "image_encoder"
+    if tiny:
+        from pcdms_tpu.pose.detectors.tiny_vit import convert_tiny_vit
+        encoder = {"tiny": convert_tiny_vit(sd)}
+        return _convert_sam_heads(sd, encoder, cfg)
     blocks = []
     for i in range(cfg.depth):
         b = f"{enc}.blocks.{i}"
@@ -386,6 +401,11 @@ def convert_sam(sd: Dict[str, np.ndarray],
         "neck_ln1_bias": jnp.asarray(np.asarray(sd[f"{enc}.neck.3.bias"])),
     }
 
+    return _convert_sam_heads(sd, encoder, cfg)
+
+
+def _convert_sam_heads(sd: Dict[str, np.ndarray], encoder: Dict,
+                       cfg: SamConfig) -> Tuple[Dict, SamConfig]:
     pe = "prompt_encoder"
     prompt = {
         "pe_gauss": jnp.asarray(np.asarray(
