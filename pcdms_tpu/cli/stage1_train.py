@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--s_pose_drop_rate", type=float, default=0.1)
     p.add_argument("--t_pose_drop_rate", type=float, default=0.1)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny model geometry (CI/CPU smoke of the full "
+                        "CLI code path)")
     p.set_defaults(learning_rate=1e-5, train_batch_size=128,
                    max_train_steps=100_000)
     return p.parse_args(argv)
@@ -40,9 +43,15 @@ def build_models(args):
     from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
     from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
 
-    prior_cfg = PriorConfig()
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        tiny = tiny_configs()
+        prior = prior_init(k1, tiny.prior)
+        clip = None if args.synthetic_data else vit_init(k2, tiny.clip)
+        return tiny.prior, prior, clip, tiny.clip
+    prior_cfg = PriorConfig()
     if args.random_init:
         prior = prior_init(k1, prior_cfg)
         clip = None if args.synthetic_data else \
@@ -55,29 +64,32 @@ def build_models(args):
         # require (or load) its checkpoint for benchmark runs
         clip = None if args.synthetic_data else \
             load_clip_vision(args.image_encoder_path)
-    return prior_cfg, prior, clip
+    return prior_cfg, prior, clip, None
 
 
-def synthetic_batches(args):
+def synthetic_batches(args, embed_dim=1024):
     import numpy as np
     rng = np.random.default_rng(args.seed)
     b = args.train_batch_size
     while True:
         yield {
-            "s_embed": rng.standard_normal((b, 1024), dtype=np.float32),
-            "t_embed": rng.standard_normal((b, 1024), dtype=np.float32),
+            "s_embed": rng.standard_normal((b, embed_dim),
+                                           dtype=np.float32),
+            "t_embed": rng.standard_normal((b, embed_dim),
+                                           dtype=np.float32),
             "s_pose": rng.random((b, 36), dtype=np.float32),
             "t_pose": rng.random((b, 36), dtype=np.float32),
         }
 
 
-def make_batches(args, clip_params, clip_cfg=None):
+def make_batches(args, clip_params, clip_cfg=None, embed_dim=1024):
     if args.synthetic_data:
-        yield from synthetic_batches(args)
+        yield from synthetic_batches(args, embed_dim)
         return
     from pcdms_tpu.data.datasets import (
-        PairList, Stage1Dataset, batch_iterator,
+        PairList, Stage1Dataset,
     )
+    from pcdms_tpu.data.loader import DataLoader
     from pcdms_tpu.data.preprocess import clip_preprocess, load_image
     from pcdms_tpu.models.vit import clip_vit_h14_config
     from pcdms_tpu.train.encoders import clip_image_embed
@@ -105,8 +117,9 @@ def make_batches(args, clip_params, clip_cfg=None):
             f"s1_clip_{args.img_width}x{args.img_height}", encode,
             lambda p: clip_preprocess(load_image(p, size)), paths,
             batch_size=args.train_batch_size)
-        for batch in batch_iterator(dataset, args.train_batch_size,
-                                    seed=args.seed):
+        for batch in DataLoader(dataset, args.train_batch_size,
+                                num_workers=args.dataloader_num_workers,
+                                seed=args.seed):
             yield {
                 "s_embed": cache.lookup(batch["s_ref"], batch["s_drop"]),
                 "t_embed": cache.lookup(batch["t_ref"], batch["t_drop"]),
@@ -115,8 +128,9 @@ def make_batches(args, clip_params, clip_cfg=None):
             }
         return
 
-    for batch in batch_iterator(dataset, args.train_batch_size,
-                                seed=args.seed):
+    for batch in DataLoader(dataset, args.train_batch_size,
+                            num_workers=args.dataloader_num_workers,
+                            seed=args.seed):
         yield {
             "s_embed": encode(batch["clip_s_img"]),
             "t_embed": encode(batch["clip_t_img"]),
@@ -131,7 +145,7 @@ def main(argv=None):
     tcfg = train_config_from_args(args)
     dtype = compute_dtype_from_args(args)
 
-    prior_cfg, prior, clip = build_models(args)
+    prior_cfg, prior, clip, clip_cfg = build_models(args)
 
     from pcdms_tpu.train.loop import (
         make_tensorboard_writer, run_training,
@@ -141,7 +155,8 @@ def main(argv=None):
     loss_fn = stage1_loss_fn(prior_cfg, noise_offset=args.noise_offset,
                              compute_dtype=dtype)
     mesh = default_mesh()
-    batches = make_batches(args, clip)
+    batches = make_batches(args, clip, clip_cfg=clip_cfg,
+                           embed_dim=prior_cfg.embedding_dim)
     run_training(loss_fn, prior, batches, tcfg, mesh=mesh,
                  rng=jax.random.PRNGKey(args.seed),
                  output_dir=args.output_dir,

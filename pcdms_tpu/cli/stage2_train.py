@@ -40,7 +40,24 @@ def parse_args(argv=None):
     p.add_argument("--imgp_drop_rate", type=float, default=0.1)
     p.add_argument("--imgg_drop_rate", type=float, default=0.1)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny model geometry (CI/CPU smoke of the full "
+                        "CLI code path)")
     return p.parse_args(argv)
+
+
+class ModelAux:
+    """Side-band configs build_models hands to the loss/batch builders
+    (full-size defaults unless --tiny_config)."""
+
+    def __init__(self, vae_cfg=None, clip_cfg=None, dino_cfg=None,
+                 dino_tokens=257, dino_dim=1536, clip_dim=1024):
+        self.vae_cfg = vae_cfg
+        self.clip_cfg = clip_cfg
+        self.dino_cfg = dino_cfg
+        self.dino_tokens = dino_tokens
+        self.dino_dim = dino_dim
+        self.clip_dim = clip_dim
 
 
 def build_models(args):
@@ -53,11 +70,38 @@ def build_models(args):
 
     from pcdms_tpu.models.vit import clip_vit_h14_config, dinov2_giant_config
 
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        from pcdms_tpu.models.vit import vit_init
+        from pcdms_tpu.models.vae import VAEConfig  # noqa: F401
+        tiny = tiny_configs()
+        unet_cfg = tiny.unet2(with_class_embed=True)
+        if args.gradient_checkpointing:
+            unet_cfg = dataclasses.replace(unet_cfg, remat=True)
+        trainable = {
+            "unet": unet_init(k1, unet_cfg),
+            "image_proj": image_proj_mlp_init(
+                k5, **tiny.image_proj_kwargs),
+            "pose_proj": pose_cond_embedding_init(
+                k6, **tiny.pose_proj_kwargs),
+        }
+        vae = vae_init(k2, tiny.vae)
+        clip = dino = None
+        if not args.synthetic_data:
+            clip = vit_init(k3, tiny.clip)
+            dino = vit_init(k4, tiny.dino)
+        aux = ModelAux(vae_cfg=tiny.vae, clip_cfg=tiny.clip,
+                       dino_cfg=tiny.dino, dino_tokens=5,
+                       dino_dim=tiny.dino.hidden_size,
+                       clip_dim=tiny.clip.projection_dim)
+        return unet_cfg, trainable, vae, clip, dino, aux
+
     unet_cfg = stage2_unet_config()
     if args.gradient_checkpointing:
         unet_cfg = dataclasses.replace(unet_cfg, remat=True)
-    key = jax.random.PRNGKey(args.seed)
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
     if args.random_init:
         unet = unet_init(k1, unet_cfg)
@@ -89,7 +133,7 @@ def build_models(args):
         "image_proj": image_proj_mlp_init(k5),
         "pose_proj": pose_cond_embedding_init(k6),
     }
-    return unet_cfg, trainable, vae, clip, dino
+    return unet_cfg, trainable, vae, clip, dino, ModelAux()
 
 
 def _grow_conv_in(unet_params, cfg, key):
@@ -112,8 +156,9 @@ def _maybe_init_class_embedding(unet_params, cfg, key):
     return unet_params
 
 
-def synthetic_batches(args):
+def synthetic_batches(args, aux=None):
     import numpy as np
+    aux = aux or ModelAux()
     rng = np.random.default_rng(args.seed)
     b, h, w = args.train_batch_size, args.img_height, 2 * args.img_width
     while True:
@@ -124,22 +169,23 @@ def synthetic_batches(args):
             "pose_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(
                 np.float32),
             "dino_features": rng.standard_normal(
-                (b, 257, 1536), dtype=np.float32),
+                (b, aux.dino_tokens, aux.dino_dim), dtype=np.float32),
             "clip_embed": rng.standard_normal(
-                (b, 1, 1024), dtype=np.float32),
+                (b, 1, aux.clip_dim), dtype=np.float32),
         }
 
 
 def make_batches(args, clip_params, dino_params, clip_cfg=None,
-                 dino_cfg=None):
+                 dino_cfg=None, aux=None):
     """Host data iterator + on-device frozen-encoder pass (or the
     precomputed embedding cache when --cache_embeddings is set)."""
     if args.synthetic_data:
-        yield from synthetic_batches(args)
+        yield from synthetic_batches(args, aux)
         return
     from pcdms_tpu.data.datasets import (
-        PairList, Stage2Dataset, batch_iterator,
+        PairList, Stage2Dataset,
     )
+    from pcdms_tpu.data.loader import DataLoader
     from pcdms_tpu.data.preprocess import clip_preprocess, load_image
     from pcdms_tpu.models.vit import clip_vit_h14_config, dinov2_giant_config
     from pcdms_tpu.train.encoders import clip_image_embed, dino_features
@@ -180,8 +226,9 @@ def make_batches(args, clip_params, dino_params, clip_cfg=None,
             lambda px: np.asarray(clip_image_embed(
                 clip_params, jnp.asarray(px), cfg=clip_cfg)),
             pre, t_paths, batch_size=args.train_batch_size)
-        for batch in batch_iterator(dataset, args.train_batch_size,
-                                    seed=args.seed):
+        for batch in DataLoader(dataset, args.train_batch_size,
+                                num_workers=args.dataloader_num_workers,
+                                seed=args.seed):
             yield {
                 "st_image": batch["st_image"],
                 "masked_image": batch["masked_image"],
@@ -193,8 +240,9 @@ def make_batches(args, clip_params, dino_params, clip_cfg=None,
             }
         return
 
-    for batch in batch_iterator(dataset, args.train_batch_size,
-                                seed=args.seed):
+    for batch in DataLoader(dataset, args.train_batch_size,
+                            num_workers=args.dataloader_num_workers,
+                            seed=args.seed):
         feats = dino_features(dino_params, jnp.asarray(batch["clip_s_img"]),
                               cfg=dino_cfg)
         embed = clip_image_embed(clip_params,
@@ -215,17 +263,19 @@ def main(argv=None):
     tcfg = train_config_from_args(args)
     dtype = compute_dtype_from_args(args)
 
-    unet_cfg, trainable, vae, clip, dino = build_models(args)
+    unet_cfg, trainable, vae, clip, dino, aux = build_models(args)
 
     from pcdms_tpu.train.loop import (
         make_tensorboard_writer, run_training,
     )
     from pcdms_tpu.train.stage2 import stage2_loss_fn
 
+    loss_kwargs = {} if aux.vae_cfg is None else {"vae_cfg": aux.vae_cfg}
     loss_fn = stage2_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
-                             compute_dtype=dtype)
+                             compute_dtype=dtype, **loss_kwargs)
     mesh = default_mesh()
-    batches = make_batches(args, clip, dino)
+    batches = make_batches(args, clip, dino, clip_cfg=aux.clip_cfg,
+                           dino_cfg=aux.dino_cfg, aux=aux)
     run_training(loss_fn, trainable, batches, tcfg, mesh=mesh,
                  rng=jax.random.PRNGKey(args.seed),
                  output_dir=args.output_dir,

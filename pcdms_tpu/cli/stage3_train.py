@@ -29,11 +29,15 @@ def parse_args(argv=None):
                    help="directory of stage-2 generated images")
     p.add_argument("--gen_drop_rate", type=float, default=0.1)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny model geometry (CI/CPU smoke of the full "
+                        "CLI code path)")
     p.set_defaults(learning_rate=1e-5, train_batch_size=16)
     return p.parse_args(argv)
 
 
 def build_models(args):
+    from pcdms_tpu.cli.stage2_train import ModelAux
     from pcdms_tpu.models.projections import image_proj_mlp_init
     from pcdms_tpu.models.unet2d import stage3_unet_config, unet_init
     from pcdms_tpu.models.vae import vae_init
@@ -41,11 +45,29 @@ def build_models(args):
 
     from pcdms_tpu.models.vit import dinov2_giant_config, vit_init
 
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        tiny = tiny_configs()
+        unet_cfg = tiny.unet3
+        if args.gradient_checkpointing:
+            unet_cfg = dataclasses.replace(unet_cfg, remat=True)
+        trainable = {
+            "unet": unet_init(k1, unet_cfg),
+            "image_proj": image_proj_mlp_init(
+                k4, **tiny.image_proj_kwargs),
+        }
+        vae = vae_init(k2, tiny.vae)
+        dino = None if args.synthetic_data else vit_init(k3, tiny.dino)
+        aux = ModelAux(vae_cfg=tiny.vae, dino_cfg=tiny.dino, dino_tokens=5,
+                       dino_dim=tiny.dino.hidden_size)
+        return unet_cfg, trainable, vae, dino, aux
+
     unet_cfg = stage3_unet_config()
     if args.gradient_checkpointing:
         unet_cfg = dataclasses.replace(unet_cfg, remat=True)
-    key = jax.random.PRNGKey(args.seed)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
     if args.random_init:
         unet = unet_init(k1, unet_cfg)
         vae = vae_init(k2)
@@ -62,11 +84,14 @@ def build_models(args):
         dino = None if args.synthetic_data else \
             load_dinov2(args.image_encoder_p_path)
     trainable = {"unet": unet, "image_proj": image_proj_mlp_init(k4)}
-    return unet_cfg, trainable, vae, dino
+    from pcdms_tpu.cli.stage2_train import ModelAux
+    return unet_cfg, trainable, vae, dino, ModelAux()
 
 
-def synthetic_batches(args):
+def synthetic_batches(args, aux=None):
     import numpy as np
+    from pcdms_tpu.cli.stage2_train import ModelAux
+    aux = aux or ModelAux()
     rng = np.random.default_rng(args.seed)
     b, h, w = args.train_batch_size, args.img_height, args.img_width
     while True:
@@ -76,17 +101,18 @@ def synthetic_batches(args):
             "gen_image": rng.uniform(-1, 1, (b, h, w, 3)).astype(
                 np.float32),
             "dino_features": rng.standard_normal(
-                (b, 257, 1536), dtype=np.float32),
+                (b, aux.dino_tokens, aux.dino_dim), dtype=np.float32),
         }
 
 
-def make_batches(args, dino_params, dino_cfg=None):
+def make_batches(args, dino_params, dino_cfg=None, aux=None):
     if args.synthetic_data:
-        yield from synthetic_batches(args)
+        yield from synthetic_batches(args, aux)
         return
     from pcdms_tpu.data.datasets import (
-        PairList, Stage3Dataset, batch_iterator,
+        PairList, Stage3Dataset,
     )
+    from pcdms_tpu.data.loader import DataLoader
     from pcdms_tpu.models.vit import dinov2_giant_config
     from pcdms_tpu.train.encoders import dino_features
 
@@ -113,8 +139,9 @@ def make_batches(args, dino_params, dino_cfg=None):
             lambda p: clip_preprocess(load_image(p, size)),
             [pairs.image_path(i["source_image"]) for i in pairs.pairs],
             batch_size=args.train_batch_size, store_dtype=np.float16)
-        for batch in batch_iterator(dataset, args.train_batch_size,
-                                    seed=args.seed):
+        for batch in DataLoader(dataset, args.train_batch_size,
+                                num_workers=args.dataloader_num_workers,
+                                seed=args.seed):
             yield {
                 "target_image": batch["target_image"],
                 "gen_image": batch["gen_image"],
@@ -122,8 +149,9 @@ def make_batches(args, dino_params, dino_cfg=None):
             }
         return
 
-    for batch in batch_iterator(dataset, args.train_batch_size,
-                                seed=args.seed):
+    for batch in DataLoader(dataset, args.train_batch_size,
+                            num_workers=args.dataloader_num_workers,
+                            seed=args.seed):
         feats = dino_features(dino_params, jnp.asarray(batch["clip_s_img"]),
                               cfg=dino_cfg)
         yield {
@@ -139,17 +167,18 @@ def main(argv=None):
     tcfg = train_config_from_args(args)
     dtype = compute_dtype_from_args(args)
 
-    unet_cfg, trainable, vae, dino = build_models(args)
+    unet_cfg, trainable, vae, dino, aux = build_models(args)
 
     from pcdms_tpu.train.loop import (
         make_tensorboard_writer, run_training,
     )
     from pcdms_tpu.train.stage3 import stage3_loss_fn
 
+    loss_kwargs = {} if aux.vae_cfg is None else {"vae_cfg": aux.vae_cfg}
     loss_fn = stage3_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
-                             compute_dtype=dtype)
+                             compute_dtype=dtype, **loss_kwargs)
     mesh = default_mesh()
-    batches = make_batches(args, dino)
+    batches = make_batches(args, dino, dino_cfg=aux.dino_cfg, aux=aux)
     run_training(loss_fn, trainable, batches, tcfg, mesh=mesh,
                  rng=jax.random.PRNGKey(args.seed),
                  output_dir=args.output_dir,

@@ -5,3 +5,4 @@ from pcdms_tpu.data.preprocess import (
 from pcdms_tpu.data.datasets import (
     PairList, Stage1Dataset, Stage2Dataset, Stage3Dataset, batch_iterator,
 )
+from pcdms_tpu.data.loader import DataLoader, prefetch_to_device

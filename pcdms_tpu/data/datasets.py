@@ -34,6 +34,27 @@ from pcdms_tpu.data.preprocess import (
 from pcdms_tpu.pose.keypoints import read_pose_txt
 
 
+class _StatelessDropout:
+    """Mixin giving datasets a worker-order-independent RNG path.
+
+    ``__getitem__`` draws condition-dropout randomness from a *stateful*
+    per-dataset stream (matching the reference's torch-Dataset semantics,
+    /root/reference/src/dataset/stage1_dataset.py:87-97, where draw order
+    follows DataLoader fetch order). ``fetch(idx, epoch)`` instead derives
+    an rng from ``(seed, epoch, idx)`` so a parallel worker pool produces
+    byte-identical batches for any worker count — the determinism the
+    reference's worker processes do not have.
+    """
+
+    def fetch(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        return self._example(int(idx), rng)
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        return self._example(int(idx), self.rng)
+
+
 class PairList:
     """The DeepFashion (source, target) pair list."""
 
@@ -71,7 +92,7 @@ class PairList:
         return out
 
 
-class Stage1Dataset:
+class Stage1Dataset(_StatelessDropout):
     def __init__(self, pairs: PairList, size=(512, 512),
                  s_img_drop_rate=0.0, t_img_drop_rate=0.0,
                  s_pose_drop_rate=0.0, t_pose_drop_rate=0.0, seed=0,
@@ -84,23 +105,24 @@ class Stage1Dataset:
         self.size = size
         self.drop = (s_img_drop_rate, t_img_drop_rate,
                      s_pose_drop_rate, t_pose_drop_rate)
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.embed_refs = embed_refs
 
     def __len__(self):
         return len(self.pairs)
 
-    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+    def _example(self, idx, rng) -> Dict[str, np.ndarray]:
         item = self.pairs.pairs[idx]
         s_pose = read_pose_txt(self.pairs.pose_txt_path(item["source_image"]))
         t_pose = read_pose_txt(self.pairs.pose_txt_path(item["target_image"]))
 
         dr = self.drop
-        s_drop = self.rng.random() < dr[0]
-        t_drop = self.rng.random() < dr[1]
-        if self.rng.random() < dr[2]:
+        s_drop = rng.random() < dr[0]
+        t_drop = rng.random() < dr[1]
+        if rng.random() < dr[2]:
             s_pose = np.zeros_like(s_pose)
-        if self.rng.random() < dr[3]:
+        if rng.random() < dr[3]:
             t_pose = np.zeros_like(t_pose)
 
         if self.embed_refs:
@@ -125,7 +147,7 @@ class Stage1Dataset:
                 "s_pose": s_pose, "t_pose": t_pose}
 
 
-class Stage2Dataset:
+class Stage2Dataset(_StatelessDropout):
     def __init__(self, pairs: PairList, size=(512, 512),
                  imgp_drop_rate=0.0, imgg_drop_rate=0.0, seed=0,
                  embed_refs: bool = False):
@@ -137,13 +159,14 @@ class Stage2Dataset:
         self.size = size
         self.imgp_drop_rate = imgp_drop_rate
         self.imgg_drop_rate = imgg_drop_rate
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.embed_refs = embed_refs
 
     def __len__(self):
         return len(self.pairs)
 
-    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+    def _example(self, idx, rng) -> Dict[str, np.ndarray]:
         item = self.pairs.pairs[idx]
         s_img = load_image(self.pairs.image_path(item["source_image"]),
                            self.size)
@@ -164,8 +187,8 @@ class Stage2Dataset:
             "pose_image": to_neg1_1(st_pose),
         }
 
-        s_drop = self.rng.random() < self.imgp_drop_rate
-        t_drop = self.rng.random() < self.imgg_drop_rate
+        s_drop = rng.random() < self.imgp_drop_rate
+        t_drop = rng.random() < self.imgg_drop_rate
         if self.embed_refs:
             out.update({
                 "s_ref": self.pairs.image_path(item["source_image"]),
@@ -185,13 +208,14 @@ class Stage2Dataset:
         return out
 
 
-class Stage3Dataset:
+class Stage3Dataset(_StatelessDropout):
     def __init__(self, pairs: PairList, gen_dir: str, size=(512, 512),
                  gen_drop_rate=0.0, seed=0, embed_refs: bool = False):
         self.pairs = pairs
         self.gen_dir = gen_dir
         self.size = size
         self.gen_drop_rate = gen_drop_rate
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.embed_refs = embed_refs
 
@@ -203,7 +227,7 @@ class Stage3Dataset:
         t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
         return os.path.join(self.gen_dir, f"{s}_to_{t}.png")
 
-    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+    def _example(self, idx, rng) -> Dict[str, np.ndarray]:
         item = self.pairs.pairs[idx]
         s_img = load_image(self.pairs.image_path(item["source_image"]),
                            self.size)
@@ -212,7 +236,7 @@ class Stage3Dataset:
         gen_img = load_image(self.gen_path(item), self.size)
 
         gen = to_neg1_1(gen_img)
-        if self.rng.random() < self.gen_drop_rate:
+        if rng.random() < self.gen_drop_rate:
             gen = np.zeros_like(gen)
 
         out = {"target_image": to_neg1_1(t_img), "gen_image": gen}

@@ -79,6 +79,29 @@ def init_train_state(params, cfg: TrainConfig):
     }
 
 
+def state_shardings(state, cfg: TrainConfig, mesh: Mesh):
+    """Target shardings for a train state on the mesh: params/step
+    replicated, optimizer state ZeRO-1-sharded when cfg.zero1."""
+    repl = NamedSharding(mesh, P())
+    params_s = jax.tree.map(lambda _: repl, state["params"])
+    if cfg.zero1:
+        opt_s = zero1_shardings(state["opt_state"], mesh)
+    else:
+        opt_s = jax.tree.map(lambda _: repl, state["opt_state"])
+    return {"params": params_s, "opt_state": opt_s, "step": repl}
+
+
+def shard_train_state(state, cfg: TrainConfig, mesh: Mesh):
+    """Place a train state onto the mesh with its target shardings.
+
+    Required after checkpoint restore: orbax returns arrays committed to
+    one device, and the train step's donated first argument refuses
+    committed inputs whose sharding mismatches its in_shardings (fresh
+    ``init_train_state`` outputs are *uncommitted*, so the first step of
+    a cold run reshards implicitly — a restored state does not)."""
+    return jax.device_put(state, state_shardings(state, cfg, mesh))
+
+
 def make_train_step(loss_fn: Callable, cfg: TrainConfig,
                     mesh: Optional[Mesh] = None):
     """Build the jitted SPMD train step.
@@ -109,14 +132,6 @@ def make_train_step(loss_fn: Callable, cfg: TrainConfig,
     repl = NamedSharding(mesh, P())
     batch_shard = batch_sharding(mesh)
 
-    def state_shardings(state):
-        params_s = jax.tree.map(lambda _: repl, state["params"])
-        if cfg.zero1:
-            opt_s = zero1_shardings(state["opt_state"], mesh)
-        else:
-            opt_s = jax.tree.map(lambda _: repl, state["opt_state"])
-        return {"params": params_s, "opt_state": opt_s, "step": repl}
-
     # The batch pytree structure isn't known until the first call, so the
     # fully-sharded jit is built lazily on first use.
     cache = {}
@@ -124,7 +139,7 @@ def make_train_step(loss_fn: Callable, cfg: TrainConfig,
     def wrapped(state, batch, rng):
         key = "fn"
         if key not in cache:
-            ss = state_shardings(state)
+            ss = state_shardings(state, cfg, mesh)
             cache[key] = jax.jit(
                 step_fn,
                 in_shardings=(ss, jax.tree.map(lambda _: batch_shard, batch),

@@ -18,10 +18,9 @@ from typing import Callable, Iterator, Optional
 import jax
 import numpy as np
 
-from pcdms_tpu.parallel.mesh import shard_batch
 from pcdms_tpu.train import checkpoint as ckpt
 from pcdms_tpu.train.common import TrainConfig, init_train_state, \
-    make_train_step
+    make_train_step, shard_train_state
 
 logger = logging.getLogger("pcdms_tpu.train")
 
@@ -34,10 +33,14 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
                  resume_from_checkpoint: bool = False,
                  max_train_steps: Optional[int] = None,
                  profile_dir: Optional[str] = None,
-                 tensorboard_writer=None):
+                 tensorboard_writer=None,
+                 device_prefetch: int = 2):
     """Run the train loop; returns the final state.
 
     batches yields host numpy dict batches (already encoder-processed).
+    With a mesh, ``device_prefetch`` batches are sharded onto it ahead of
+    the step via asynchronous transfers (data/loader.py), so host→HBM
+    copies overlap device compute.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     max_steps = max_train_steps or cfg.max_train_steps
@@ -48,9 +51,16 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
         latest = ckpt.latest_step(output_dir)
         if latest is not None:
             state, _, start_step = ckpt.restore_checkpoint(output_dir, state)
+            if mesh is not None:
+                # restored arrays are committed to one device; re-shard to
+                # the step's target shardings (ZeRO-1 opt state included)
+                state = shard_train_state(state, cfg, mesh)
             logger.info("resumed from %s at step %d", output_dir, start_step)
 
     step_fn = make_train_step(loss_fn, cfg, mesh=mesh)
+    if mesh is not None:
+        from pcdms_tpu.data.loader import prefetch_to_device
+        batches = prefetch_to_device(batches, mesh, depth=device_prefetch)
 
     t_last = time.perf_counter()
     examples_since_log = 0
@@ -67,8 +77,6 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
             jax.profiler.stop_trace()
             trace_open = False
 
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         step += 1

@@ -201,6 +201,77 @@ class TestCheckpoint:
         from pcdms_tpu.train import checkpoint as ckpt
         assert ckpt.latest_step(str(tmp_path / "missing")) is None
 
+    def test_mesh_sharded_zero1_resume_parity(self, tmp_path):
+        """Save a ZeRO-1-sharded state mid-run on the 8-device mesh,
+        restore into a fresh (unsharded) ``init_train_state`` template,
+        continue — and match an uninterrupted run step for step. This is
+        the subsystem the reference's DeepSpeed resume
+        (stage1_train_prior_model.py:48-63) implements with
+        mp_rank-specific shard files; here orbax saves the distributed
+        arrays and jit input resharding re-shards the restored state."""
+        from pcdms_tpu.train import checkpoint as ckpt
+
+        mesh = make_mesh()
+        cfg = TrainConfig(learning_rate=1e-3, lr_warmup_steps=1,
+                          zero1=True)
+        # large enough that zero1_shardings' min-size rule actually
+        # shards optimizer-state leaves (>= 2^14 elements)
+        prior_cfg = PriorConfig(num_heads=4, head_dim=32, num_layers=2,
+                                embedding_dim=128, pose_hidden=64)
+        loss_fn = stage1_loss_fn(prior_cfg, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), prior_cfg)
+        keys = [jax.random.PRNGKey(100 + i) for i in range(5)]
+
+        def big_batch():
+            rng = np.random.default_rng(0)
+            return {
+                "s_embed": rng.normal(size=(8, 128)).astype(np.float32),
+                "t_embed": rng.normal(size=(8, 128)).astype(np.float32),
+                "s_pose": rng.random((8, 36)).astype(np.float32),
+                "t_pose": rng.random((8, 36)).astype(np.float32),
+            }
+
+        batches = [shard_batch(big_batch(), mesh) for _ in range(5)]
+
+        # --- uninterrupted 5-step run
+        s_ref = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f_ref = make_train_step(loss_fn, cfg, mesh=mesh)
+        ref_losses = []
+        for k, b in zip(keys, batches):
+            s_ref, m = f_ref(s_ref, b, k)
+            ref_losses.append(float(m["loss"]))
+
+        # --- interrupted run: 3 steps, checkpoint the *sharded* state
+        s_a = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f_a = make_train_step(loss_fn, cfg, mesh=mesh)
+        for k, b in zip(keys[:3], batches[:3]):
+            s_a, _ = f_a(s_a, b, k)
+        opt_leaves = jax.tree.leaves(s_a["opt_state"])
+        assert any(
+            l.sharding.spec != jax.sharding.PartitionSpec()
+            for l in opt_leaves if hasattr(l, "sharding")
+        ), "ZeRO-1 state should actually be sharded on the mesh"
+        ckpt.save_checkpoint(str(tmp_path / "ck"), 3, s_a)
+
+        # --- fresh process equivalent: new template, restore, continue
+        from pcdms_tpu.train.common import shard_train_state
+        template = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        restored, _, step = ckpt.restore_checkpoint(
+            str(tmp_path / "ck"), template)
+        assert step == 3
+        f_b = make_train_step(loss_fn, cfg, mesh=mesh)
+        s_b = shard_train_state(restored, cfg, mesh)
+        cont_losses = []
+        for k, b in zip(keys[3:], batches[3:]):
+            s_b, m = f_b(s_b, b, k)
+            cont_losses.append(float(m["loss"]))
+
+        np.testing.assert_allclose(cont_losses, ref_losses[3:], rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s_ref["params"]),
+                        jax.tree.leaves(s_b["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
 
 class TestGradAccumulation:
     def test_multisteps_updates_every_k(self):
