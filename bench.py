@@ -15,6 +15,12 @@ that estimate and tagged "baseline": "estimated" in the output.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+BENCH_CASCADE=1 benches the full on-device 3-stage cascade
+(prior 20-step UnCLIP -> inpaint 20-step UniPC -> refine 20-step UniPC,
+guidance 2.0 — the reference's batch-test protocol, SURVEY.md §3.3)
+instead of the stage-2-only north star. BENCH_TINY=1 swaps tiny-geometry
+models for a CPU wiring smoke of either mode.
 """
 
 import json
@@ -23,7 +29,104 @@ import sys
 import time
 
 
+def _cascade(batch, height, reps, tiny):
+    """Full 3-stage cascade throughput (images/sec/chip of refined
+    outputs). Reference equivalent: run_test_stage{1,2,3}.sh chained
+    through disk; here everything stays on device (pipelines/cascade.py).
+    Params are bf16 (the pipelines' compute dtype) so prior + 2 UNets +
+    VAE fit one chip's HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
+    from pcdms_tpu.models.projections import (
+        image_proj_mlp_init, pose_cond_embedding_init,
+    )
+    from pcdms_tpu.models.unet2d import (
+        stage2_unet_config, stage3_unet_config, unet_init,
+    )
+    from pcdms_tpu.models.vae import VAEConfig, vae_init
+    from pcdms_tpu.pipelines.cascade import cascade_generate
+    from pcdms_tpu.utils.profiling import sync
+
+    width = 2 * height
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    if tiny:
+        from pcdms_tpu.cli.common import tiny_configs
+        t = tiny_configs()
+        prior_cfg, s2_cfg, s3_cfg, vae_cfg = (t.prior, t.unet2(True),
+                                              t.unet3, t.vae)
+        ip_kw, pp_kw = t.image_proj_kwargs, t.pose_proj_kwargs
+        dino_dim, embed_dim = t.dino.hidden_size, t.clip.projection_dim
+    else:
+        prior_cfg, s2_cfg, s3_cfg, vae_cfg = (
+            PriorConfig(), stage2_unet_config(), stage3_unet_config(),
+            VAEConfig())
+        ip_kw, pp_kw = {}, {}
+        dino_dim, embed_dim = 1536, 1024
+
+    def bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, tree)
+
+    stage1 = bf16(prior_init(ks[0], prior_cfg))
+    vae = bf16(vae_init(ks[1], vae_cfg))
+    stage2 = {"unet": bf16(unet_init(ks[2], s2_cfg)),
+              "image_proj": bf16(image_proj_mlp_init(ks[3], **ip_kw)),
+              "pose_proj": bf16(pose_cond_embedding_init(ks[4], **pp_kw)),
+              "vae": vae}
+    stage3 = {"unet": bf16(unet_init(ks[5], s3_cfg)),
+              "image_proj": bf16(image_proj_mlp_init(ks[6], **ip_kw)),
+              "vae": vae}
+
+    s_embed = jax.random.normal(ks[7], (batch, embed_dim), jnp.float32)
+    s_pose = jnp.zeros((batch, 36), jnp.float32)
+    t_pose = jnp.ones((batch, 36), jnp.float32) * 0.5
+    vae_image = jnp.zeros((batch, height, width, 3), jnp.float32)
+    st_pose = jnp.zeros((batch, height, width, 3), jnp.float32)
+    dino = jax.random.normal(ks[7], (batch, 257, dino_dim), jnp.float32)
+
+    def run(seed):
+        out = cascade_generate(
+            stage1, stage2, stage3, s_embed, s_pose, t_pose,
+            vae_image, st_pose, dino, jax.random.PRNGKey(seed),
+            prior_cfg=prior_cfg, stage2_cfg=s2_cfg, stage3_cfg=s3_cfg,
+            vae_cfg=vae_cfg, prior_steps=20, inpaint_steps=20,
+            refine_steps=20, guidance_scale=2.0, scheduler="unipc")
+        return out["refined"]
+
+    sync(run(0))                          # compile all three stages
+    t0 = time.perf_counter()
+    for i in range(reps):
+        sync(run(i + 1))
+    dt = time.perf_counter() - t0
+
+    import jax as _jax
+    ips = (batch * reps) / dt / _jax.device_count()
+    # A100 cascade estimate: the 0.25 img/s stage-2 figure at the 20-step
+    # UniPC protocol scales to ~0.62 img/s (50/20 steps), and stages 1+3
+    # add ~45% more UNet-step work (stage3 at half canvas ~= 0.5x stage2
+    # per step, prior ~epsilon) -> ~0.43 img/s end-to-end (BASELINE.md)
+    baseline = 0.43
+    print(json.dumps({
+        "metric": f"3-stage cascade {height}px 20-step UniPC",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / baseline, 3),
+        "baseline": "estimated A100 0.43 img/s cascade (BASELINE.md)",
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_CASCADE", "0") == "1":
+        return _cascade(
+            batch=int(os.environ.get("BENCH_BATCH", "4")),
+            height=int(os.environ.get("BENCH_HEIGHT", "512")),
+            reps=int(os.environ.get("BENCH_REPS", "3")),
+            tiny=os.environ.get("BENCH_TINY", "0") == "1")
     import jax
     import jax.numpy as jnp
 

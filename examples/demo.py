@@ -21,7 +21,7 @@ import argparse
 import numpy as np
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source", type=str, required=True,
                    help="source person image")
@@ -40,7 +40,10 @@ def parse_args():
     p.add_argument("--guidance_scale", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init", action="store_true")
-    return p.parse_args()
+    p.add_argument("--tiny_config", action="store_true",
+                   help="tiny model geometry (CI/CPU smoke; implies "
+                        "--random_init weights semantics)")
+    return p.parse_args(argv)
 
 
 def load_pose_canvas(path, size):
@@ -58,8 +61,8 @@ def load_pose_canvas(path, size):
     return to_neg1_1(load_image(path, (size, size)))
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
     import jax
     import jax.numpy as jnp
 
@@ -73,8 +76,16 @@ def main():
     from pcdms_tpu.cli.common import save_images
 
     size = args.size
-    unet_cfg = stage2_unet_config(with_class_embed=False)   # demo variant
-    dino_cfg = dinov2_giant_config()
+    if args.tiny_config:
+        from pcdms_tpu.cli.common import tiny_configs
+        tiny = tiny_configs()
+        unet_cfg = tiny.unet2(with_class_embed=False)   # demo variant
+        dino_cfg = tiny.dino
+        args.random_init = True
+    else:
+        tiny = None
+        unet_cfg = stage2_unet_config(with_class_embed=False)
+        dino_cfg = dinov2_giant_config()
     key = jax.random.PRNGKey(args.seed)
 
     if not args.random_init:
@@ -90,10 +101,20 @@ def main():
         from pcdms_tpu.models.projections import (
             image_proj_mlp_init, pose_cond_embedding_init,
         )
-        params = {"unet": unet_init(ks[0], unet_cfg),
-                  "image_proj": image_proj_mlp_init(ks[1]),
-                  "pose_proj": pose_cond_embedding_init(ks[2]),
-                  "vae": vae_init(ks[3])}
+        if tiny is not None:
+            params = {
+                "unet": unet_init(ks[0], unet_cfg),
+                "image_proj": image_proj_mlp_init(
+                    ks[1], **tiny.image_proj_kwargs),
+                "pose_proj": pose_cond_embedding_init(
+                    ks[2], **tiny.pose_proj_kwargs),
+                "vae": vae_init(ks[3], tiny.vae),
+            }
+        else:
+            params = {"unet": unet_init(ks[0], unet_cfg),
+                      "image_proj": image_proj_mlp_init(ks[1]),
+                      "pose_proj": pose_cond_embedding_init(ks[2]),
+                      "vae": vae_init(ks[3])}
         dino = vit_init(key, dino_cfg)
     else:
         from pcdms_tpu.compat.load import (
@@ -113,11 +134,12 @@ def main():
     feats = dino_features(dino, jnp.asarray(clip_preprocess(s_img))[None],
                           cfg=dino_cfg)
 
+    gen_kwargs = {} if tiny is None else {"vae_cfg": tiny.vae}
     images = stage2_generate(
         params, jnp.asarray(canvas)[None], jnp.asarray(pose_canvas)[None],
         feats, None, jax.random.PRNGKey(args.seed), unet_cfg=unet_cfg,
         num_steps=args.steps, guidance_scale=args.guidance_scale,
-        scheduler="ddim")
+        scheduler="ddim", **gen_kwargs)
     # right half = generated target
     target = np.asarray(images)[:, :, size:, :]
     save_images(target, [args.out])

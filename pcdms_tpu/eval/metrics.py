@@ -78,6 +78,14 @@ def _ssim_single(x: np.ndarray, y: np.ndarray, data_range: float,
         def filt(im):
             return ndimage.uniform_filter(im, size=win_size, mode="reflect")
 
+    if any(s < win_size for s in x.shape):
+        # skimage raises here too; without this the interior slice below
+        # is empty and inner.mean() silently yields NaN with a
+        # mean-of-empty-slice RuntimeWarning
+        raise ValueError(
+            f"win_size={win_size} exceeds image extent {x.shape}; use "
+            "smaller win_size or larger images")
+
     ndim = x.ndim
     NP = win_size ** ndim
     cov_norm = NP / (NP - 1) if use_sample_covariance else 1.0
@@ -203,6 +211,12 @@ class ReconstructionMetrics:
             vals = {k: f[k] for k in ("psnr", "ssim", "ssim_256", "mae",
                                       "l1")}
         else:
+            if not input_list or not gt_list:
+                # an empty pairing would silently yield NaN means
+                # (numpy mean-of-empty-slice); fail loudly instead
+                raise ValueError(
+                    "no generated/GT image pairs to score (check the "
+                    "'_to_' filename pairing and directory paths)")
             vals = {k: [] for k in ("psnr", "ssim", "ssim_256", "mae", "l1")}
             for pred_path, gt_path in zip(input_list, gt_list):
                 img_gt = _load_resized(gt_path, img_size)

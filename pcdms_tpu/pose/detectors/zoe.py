@@ -592,6 +592,9 @@ class ZoeDetector:
         depth = 1.0 - depth
         if gamma_corrected:
             depth = np.power(depth, 2.2)
+        # degenerate (constant / non-finite) depth maps would otherwise
+        # warn "invalid value encountered in cast" at the uint8 cast
+        depth = np.nan_to_num(depth, nan=0.0, posinf=1.0, neginf=0.0)
         detected = hwc3((depth * 255.0).clip(0, 255).astype(np.uint8))
 
         out_hw = shape_to_64(*img.shape[:2], image_resolution)

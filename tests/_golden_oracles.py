@@ -16,13 +16,24 @@ class PublishedUniPC:
     'linspace' spacing, final sigma zero). Model outputs are x0
     predictions. Stateful history + np.linalg.solve, as published."""
 
-    def __init__(self, alphas_cumprod, num_inference_steps, order=2):
+    def __init__(self, alphas_cumprod, num_inference_steps, order=2,
+                 spacing="linspace", steps_offset=1):
         ac = np.asarray(alphas_cumprod, np.float64)
         T = len(ac)
         self.N = int(num_inference_steps)
         self.order = order
-        self.timesteps = (np.linspace(0, T - 1, self.N + 1).round()
-                          [::-1][:-1].astype(np.int64))
+        if spacing == "linspace":
+            self.timesteps = (np.linspace(0, T - 1, self.N + 1).round()
+                              [::-1][:-1].astype(np.int64))
+        elif spacing == "leading":
+            # published set_timesteps 'leading' rule: integer step ratio
+            # over N+1 points, reversed, drop the last, add steps_offset
+            step_ratio = T // (self.N + 1)
+            self.timesteps = ((np.arange(self.N + 1) * step_ratio)
+                              .round()[::-1][:-1].astype(np.int64)
+                              + steps_offset)
+        else:
+            raise ValueError(spacing)
         alpha = np.sqrt(ac[self.timesteps])
         sigma = np.sqrt(1.0 - ac[self.timesteps])
         # karras-style sigma grid with an exact zero appended

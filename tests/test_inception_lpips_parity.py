@@ -94,8 +94,9 @@ _block_e("Mixed_7b", 1280)
 _block_e("Mixed_7c", 2048)
 
 
-@pytest.fixture(scope="module")
-def inception_sd():
+def build_inception_sd():
+    """Random full-geometry InceptionV3 torch state dict (also used by
+    tests/test_metrics_cli.py to exercise the weight-file CLI path)."""
     g = torch.Generator().manual_seed(42)
     sd = {}
     for prefix, (cin, cout, k, _, _) in UNITS.items():
@@ -108,6 +109,11 @@ def inception_sd():
                                                             generator=g)
         sd[f"{prefix}.bn.running_var"] = 0.5 + torch.rand(cout, generator=g)
     return sd
+
+
+@pytest.fixture(scope="module")
+def inception_sd():
+    return build_inception_sd()
 
 
 def _tconv(sd, prefix, x):
@@ -220,8 +226,7 @@ _ALEX_CONVS = [(3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
 _FEAT_IDX = [0, 3, 6, 8, 10]
 
 
-@pytest.fixture(scope="module")
-def lpips_sd():
+def build_lpips_sd():
     g = torch.Generator().manual_seed(7)
     sd = {}
     for (cin, cout, k, _, _), fi in zip(_ALEX_CONVS, _FEAT_IDX):
@@ -231,6 +236,11 @@ def lpips_sd():
         sd[f"lin{len([x for x in sd if 'lin' in x])}.model.1.weight"] = \
             torch.rand((1, cout, 1, 1), generator=g)
     return sd
+
+
+@pytest.fixture(scope="module")
+def lpips_sd():
+    return build_lpips_sd()
 
 
 def _torch_lpips(sd, a, b):

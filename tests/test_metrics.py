@@ -130,15 +130,34 @@ class TestReconstructionHarness:
         for i in range(2):
             arr = (rng.random((64, 48, 3)) * 255).astype(np.uint8)
             Image.fromarray(arr).save(gt_dir / f"{i}.png")
-            Image.fromarray(arr).save(gen_dir / f"{i}.png")
+            gen = arr.copy()
+            gen[0, 0, 0] ^= 1          # finite PSNR (var of inf warns)
+            Image.fromarray(gen).save(gen_dir / f"{i}.png")
         rm = ReconstructionMetrics()
+        # images must exceed the reference's win_size=51 for plain SSIM
         out = rm.calculate_from_disk(str(gen_dir), str(gt_dir),
                                      save_path=str(tmp_path),
-                                     img_size=(24, 32))
+                                     img_size=(56, 64))
         assert out["psnr"][0] == float("inf") or out["psnr"][0] > 50
-        assert (tmp_path / "24_32_metrics.npz").exists()
+        assert (tmp_path / "56_64_metrics.npz").exists()
         # second call hits the cache
         out2 = rm.calculate_from_disk(str(gen_dir), str(gt_dir),
                                       save_path=str(tmp_path),
-                                      img_size=(24, 32))
+                                      img_size=(56, 64))
         assert out2["ssim_256"] == out["ssim_256"]
+
+    def test_empty_pairing_raises(self, tmp_path):
+        """Empty gen/GT dirs must error loudly, not emit NaN means."""
+        gt_dir, gen_dir = tmp_path / "gt", tmp_path / "gen"
+        gt_dir.mkdir(), gen_dir.mkdir()
+        rm = ReconstructionMetrics()
+        with pytest.raises(ValueError, match="no generated/GT image"):
+            rm.calculate_from_disk(str(gen_dir), str(gt_dir),
+                                   img_size=(56, 64))
+
+    def test_win_size_exceeding_image_raises(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((24, 24, 3))
+        rm = ReconstructionMetrics()          # reference win_size=51
+        with pytest.raises(ValueError, match="win_size=51 exceeds"):
+            rm.compute_pair(img, img)

@@ -375,3 +375,67 @@ def test_detector_call_smoke():
     out = det(img, detect_resolution=64, image_resolution=64)
     assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
     assert out.shape[0] % 64 == 0 and out.shape[1] % 64 == 0
+
+
+# ---------------------------------------------------------------------------
+# openpose_face facade end-to-end (random weights through checkpoint files)
+# ---------------------------------------------------------------------------
+
+def _rand_sd_from_tables(tables_with_prefix, g):
+    sd = {}
+    for prefix, table in tables_with_prefix:
+        for row in table:
+            if row[0] == "pool":
+                continue
+            name, cin, cout, k = row
+            sd[f"{prefix}{name}.weight"] = 0.05 * torch.randn(
+                cout, cin, k, k, generator=g)
+            sd[f"{prefix}{name}.bias"] = 0.05 * torch.randn(
+                cout, generator=g)
+    return sd
+
+
+def test_openpose_face_facade_end_to_end(tmp_path):
+    """Drive Processor('openpose_face') through real checkpoint files:
+    body CPM + face CPM random state dicts saved as .pth, loaded via
+    from_pretrained, full detect->decode->render path
+    (/root/reference/src/controlnet_aux/processor.py:33-63 +
+    open_pose/__init__.py include_face protocol)."""
+    from PIL import Image
+
+    from pcdms_tpu.pose.processors import Processor
+
+    g = torch.Generator().manual_seed(11)
+    body_tables = [("model0.", _BODY_STEM)]
+    for n in range(1, 7):
+        for bi, (br, oc) in enumerate((("L1", 38), ("L2", 19))):
+            table = (_body_stage1(br, oc) if n == 1
+                     else _body_stageN(n, br, oc))
+            body_tables.append((f"model{n}_{bi + 1}.", table))
+    face_tables = ([("", _FACE_STEM), ("", _FACE_HEAD)]
+                   + [("", _face_stageN(n)) for n in range(2, 7)])
+
+    body_p = tmp_path / "body_pose_model.pth"
+    face_p = tmp_path / "facenet.pth"
+    torch.save(_rand_sd_from_tables(body_tables, g), body_p)
+    torch.save(_rand_sd_from_tables(face_tables, g), face_p)
+
+    proc = Processor("openpose_face",
+                     params={"weights": str(body_p),
+                             "face_weights": str(face_p),
+                             "detect_resolution": 64,
+                             "image_resolution": 64})
+    rng = np.random.default_rng(4)
+    img = Image.fromarray(rng.integers(0, 255, (96, 80, 3),
+                                       dtype=np.uint8))
+    out = proc(img, to_pil=True)
+    assert isinstance(out, Image.Image)
+    arr = np.asarray(out)
+    assert arr.ndim == 3 and arr.shape[2] == 3
+    assert arr.dtype == np.uint8
+
+
+def test_openpose_facade_requires_weights():
+    from pcdms_tpu.pose.processors import Processor
+    with pytest.raises(NotImplementedError, match="pretrained checkpoint"):
+        Processor("openpose_face")

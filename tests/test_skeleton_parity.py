@@ -94,3 +94,83 @@ def test_body_plus_hands_parity(ref_util):
                                  *_to_candidate_subset(keypoints, visible))
     ref = ref_util.draw_handpose(ref, [p.copy() for p in hands])
     np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+def _ref_openpose_util():
+    """Import the reference's open_pose/util.py (its draw_facepose is the
+    variant the openpose_face* facade ids use)."""
+    import importlib
+    import sys
+    import types
+    pkg = types.ModuleType("_refop_skel")
+    pkg.__path__ = ["/root/reference/src/controlnet_aux/open_pose"]
+    sys.modules.setdefault("_refop_skel", pkg)
+    util = importlib.import_module("_refop_skel.util")
+    body = importlib.import_module("_refop_skel.body")
+    return util, body
+
+
+def test_facepose_pixel_parity_dwpose_variant(ref_util):
+    """draw_facepose vs the dwpose util.py:146 variant (list-of-arrays
+    landmarks). The dwpose render keeps faces disabled like the
+    reference, but the function itself must stay pixel-exact."""
+    h, w = 224, 160
+    rng = np.random.default_rng(5)
+    faces = [rng.uniform(0.0, 1.0, (70, 2)).astype(np.float32)
+             for _ in range(2)]
+    # eps edge cases: landmark at pixel 0 and sub-eps landmark
+    faces[0][0] = (0.4, 0.5 / h)
+    faces[0][1] = (0.005, 0.005)
+
+    from pcdms_tpu.pose.skeleton import draw_facepose
+    ours = draw_facepose(np.zeros((h, w, 3), np.uint8),
+                         [f.copy() for f in faces])
+    ref = ref_util.draw_facepose(np.zeros((h, w, 3), np.uint8),
+                                 [f.copy() for f in faces])
+    np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+def test_facepose_pixel_parity_openpose_variant():
+    """draw_facepose vs open_pose/util.py:172 (List[Keypoint] protocol),
+    drawn over an existing body render as openpose_face composes it."""
+    try:
+        ref_util2, ref_body = _ref_openpose_util()
+    except Exception as e:  # pragma: no cover - env guard
+        pytest.skip(f"reference open_pose util unimportable: {e}")
+
+    from pcdms_tpu.pose.skeleton import draw_facepose
+    h, w = 256, 192
+    rng = np.random.default_rng(9)
+    base = (rng.uniform(0, 60, (h, w, 3))).astype(np.uint8)
+    lmks = rng.uniform(0.0, 1.0, (70, 2)).astype(np.float32)
+    lmks[3] = (0.5 / w, 0.7)
+
+    ours = draw_facepose(base.copy(), [lmks.copy()])
+    kpts = [ref_body.Keypoint(x=float(x), y=float(y)) for x, y in lmks]
+    ref = ref_util2.draw_facepose(base.copy(), kpts)
+    np.testing.assert_array_equal(ours, np.asarray(ref))
+
+    # None/empty keypoints: reference returns the canvas untouched
+    ours_none = draw_facepose(base.copy(), [])
+    np.testing.assert_array_equal(ours_none,
+                                  ref_util2.draw_facepose(base.copy(),
+                                                          None))
+
+
+def test_body_hands_faces_composed_parity(ref_util):
+    """Full composition order (body -> hands -> faces) as the
+    openpose_full render path draws it."""
+    h, w = 320, 256
+    rng = np.random.default_rng(13)
+    keypoints = rng.uniform(0.05, 0.95, (1, 18, 2)).astype(np.float32)
+    visible = np.ones((1, 18), bool)
+    hands = [rng.uniform(0.1, 0.9, (21, 2)).astype(np.float32)]
+    faces = [rng.uniform(0.1, 0.9, (70, 2)).astype(np.float32)]
+
+    ours = render_pose(keypoints, h, w, visible=visible, hands=hands,
+                       faces=faces)
+    ref = ref_util.draw_bodypose(np.zeros((h, w, 3), np.uint8),
+                                 *_to_candidate_subset(keypoints, visible))
+    ref = ref_util.draw_handpose(ref, [p.copy() for p in hands])
+    ref = ref_util.draw_facepose(ref, [f.copy() for f in faces])
+    np.testing.assert_array_equal(ours, np.asarray(ref))
