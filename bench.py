@@ -123,7 +123,7 @@ def _cascade(batch, height, reps, tiny):
 def main():
     if os.environ.get("BENCH_CASCADE", "0") == "1":
         return _cascade(
-            batch=int(os.environ.get("BENCH_BATCH", "4")),
+            batch=int(os.environ.get("BENCH_BATCH", "8")),
             height=int(os.environ.get("BENCH_HEIGHT", "512")),
             reps=int(os.environ.get("BENCH_REPS", "3")),
             tiny=os.environ.get("BENCH_TINY", "0") == "1")

@@ -117,6 +117,7 @@ def make_batches(args, clip_params, clip_cfg=None, embed_dim=1024):
             f"s1_clip_{args.img_width}x{args.img_height}", encode,
             lambda p: clip_preprocess(load_image(p, size)), paths,
             batch_size=args.train_batch_size)
+        clip_params = None      # free the frozen encoder's HBM
         for batch in DataLoader(dataset, args.train_batch_size,
                                 num_workers=args.dataloader_num_workers,
                                 seed=args.seed):
@@ -157,6 +158,7 @@ def main(argv=None):
     mesh = default_mesh()
     batches = make_batches(args, clip, clip_cfg=clip_cfg,
                            embed_dim=prior_cfg.embedding_dim)
+    clip = None      # generator owns the encoder ref now (see stage2)
     run_training(loss_fn, prior, batches, tcfg, mesh=mesh,
                  rng=jax.random.PRNGKey(args.seed),
                  output_dir=args.output_dir,

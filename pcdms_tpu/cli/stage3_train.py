@@ -139,6 +139,7 @@ def make_batches(args, dino_params, dino_cfg=None, aux=None):
             lambda p: clip_preprocess(load_image(p, size)),
             [pairs.image_path(i["source_image"]) for i in pairs.pairs],
             batch_size=args.train_batch_size, store_dtype=np.float16)
+        dino_params = None      # free the frozen encoder's HBM
         for batch in DataLoader(dataset, args.train_batch_size,
                                 num_workers=args.dataloader_num_workers,
                                 seed=args.seed):
@@ -179,6 +180,7 @@ def main(argv=None):
                              compute_dtype=dtype, **loss_kwargs)
     mesh = default_mesh()
     batches = make_batches(args, dino, dino_cfg=aux.dino_cfg, aux=aux)
+    dino = None      # generator owns the encoder ref now (see stage2)
     run_training(loss_fn, trainable, batches, tcfg, mesh=mesh,
                  rng=jax.random.PRNGKey(args.seed),
                  output_dir=args.output_dir,

@@ -35,7 +35,7 @@ def _common(tmp_path, steps=20):
             "--max_train_steps", str(steps),
             "--checkpointing_steps", "8",
             "--train_batch_size", "8",
-            "--img_height", "32", "--img_width", "32",
+            "--img_height", "64", "--img_width", "64",
             "--learning_rate", "1e-2", "--lr_warmup_steps", "1",
             "--log_every", "1", "--mixed_precision", "no",
             "--report_to", "tensorboard", "--zero1"]
@@ -116,7 +116,7 @@ class TestStage2TrainMain:
                 "--max_train_steps", str(steps),
                 "--checkpointing_steps", "2",
                 "--train_batch_size", "8",
-                "--img_height", "32", "--img_width", "32",
+                "--img_height", "64", "--img_width", "64",
                 "--learning_rate", "1e-2", "--lr_warmup_steps", "1",
                 "--log_every", "1", "--mixed_precision", "no",
                 "--dataloader_num_workers", "4"]
