@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
+import warnings
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -246,7 +247,13 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    # scipy deprecated sqrtm's disp/tuple return (removal in 1.18);
+    # errors now surface as non-finite entries, which the eps-offset
+    # retry below already handles (the reference relied on disp=False
+    # for the same stabilization, metrics.py:206-257)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))

@@ -90,7 +90,8 @@ def run_config(argv, label):
     loss_fn = stage2_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
                              compute_dtype=compute_dtype_from_args(args),
                              **loss_kwargs)
-    batches = make_batches(args, clip, dino, aux=aux)
+    batches = make_batches(args, clip, dino, clip_cfg=aux.clip_cfg,
+                           dino_cfg=aux.dino_cfg, aux=aux)
     clip = dino = None      # generator owns them (freed post cache-build)
 
     cap = RateCapture()
