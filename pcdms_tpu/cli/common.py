@@ -58,11 +58,12 @@ def add_common_train_flags(p: argparse.ArgumentParser):
                         "local checkpoints)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 3-6 here")
-    p.add_argument("--dataloader_num_workers", type=int, default=8,
+    p.add_argument("--dataloader_num_workers", type=int, default=-1,
                    help="host input-pipeline worker threads (the reference "
                         "hardcodes torch DataLoader num_workers=8/2/8 in "
-                        "stage1/2/3); 0 = fetch inline. The batch stream "
-                        "is identical for any value")
+                        "stage1/2/3); 0 = fetch inline, -1 (default) = "
+                        "auto (min(8, cpu_count); 0 on 1-core hosts). "
+                        "The batch stream is identical for any value")
     p.add_argument("--cache_embeddings", type=str, default=None,
                    help="dir for the frozen-encoder embedding cache: "
                         "precompute CLIP/DINOv2 outputs once per dataset "

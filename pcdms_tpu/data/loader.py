@@ -22,10 +22,22 @@ example randomness is keyed by ``(seed, epoch, index)``
 from __future__ import annotations
 
 import collections
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+
+def resolve_num_workers(n: int) -> int:
+    """-1 -> auto: min(8, cpu_count). On a single-core host extra worker
+    threads only add switching overhead (measured ~10% at 64px,
+    PERF.md 'Input pipeline'), so auto picks 0 there; the reference
+    hardcodes 8 (stage1_train_prior_model.py:171)."""
+    if n >= 0:
+        return n
+    cpus = os.cpu_count() or 1
+    return 0 if cpus == 1 else min(8, cpus)
 
 
 def _index_batches(n: int, batch_size: int, *, shuffle: bool, seed: int,
@@ -66,7 +78,7 @@ class DataLoader:
                 "epochs=None this would spin forever)")
         self.dataset = dataset
         self.batch_size = batch_size
-        self.num_workers = num_workers
+        self.num_workers = resolve_num_workers(num_workers)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last

@@ -222,3 +222,25 @@ class TestTrainCliUsesLoader:
         for k in serial:
             np.testing.assert_array_equal(np.asarray(serial[k]),
                                           np.asarray(pooled[k]))
+
+
+class TestAutoWorkers:
+    def test_resolve(self, monkeypatch):
+        from pcdms_tpu.data import loader
+        assert loader.resolve_num_workers(0) == 0
+        assert loader.resolve_num_workers(5) == 5
+        monkeypatch.setattr(loader.os, "cpu_count", lambda: 1)
+        assert loader.resolve_num_workers(-1) == 0
+        monkeypatch.setattr(loader.os, "cpu_count", lambda: 4)
+        assert loader.resolve_num_workers(-1) == 4
+        monkeypatch.setattr(loader.os, "cpu_count", lambda: 64)
+        assert loader.resolve_num_workers(-1) == 8
+
+    def test_auto_stream_identical(self, dataset_dir):
+        a = _collect(DataLoader(_stage2(dataset_dir), 2, seed=3,
+                                num_workers=-1), 3)
+        b = _collect(DataLoader(_stage2(dataset_dir), 2, seed=3,
+                                num_workers=0), 3)
+        for x, y in zip(a, b):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
