@@ -47,7 +47,13 @@ def parse_args(argv=None):
     p.add_argument("--num_images_per_prompt", type=int, default=4)
     p.add_argument("--scheduler", type=str, default="unipc",
                    choices=["unipc", "ddim"])
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="pairs per pipeline call; device batch is "
+                        "batch_size x num_images_per_prompt x 2 (CFG) "
+                        "split over the mesh — on a SINGLE 16G v5e chip "
+                        "at 512px keep that product <= 16 (e.g. "
+                        "--batch_size 2 with 4 samples); the default "
+                        "assumes a v5e-8 slice")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--simple_variant", action="store_true",
