@@ -328,11 +328,18 @@ def estimateboost(img: np.ndarray, single_estimate, params: List[Dict],
                              interpolation=cv2.INTER_CUBIC)
         mapped = merge_depths(params, base_up, patch_est,
                               apply_fn=apply_fn)
-        # linear value fit back to the base estimate's range
-        p_coef = np.polyfit(mapped.reshape(-1), base_up.reshape(-1),
-                            deg=1)
-        merged = np.polyval(p_coef, mapped.reshape(-1)).reshape(
-            mapped.shape)
+        # linear value fit back to the base estimate's range — the
+        # closed-form deg-1 least-squares solution (identical to
+        # np.polyfit(deg=1) where that is well-posed, but with a
+        # variance floor instead of a RankWarning on near-constant
+        # merge outputs; degenerate patches collapse to the base mean)
+        m = mapped.reshape(-1).astype(np.float64)
+        b = base_up.reshape(-1).astype(np.float64)
+        var = m.var()
+        slope = ((m - m.mean()) * (b - b.mean())).mean() / var \
+            if var > 1e-12 else 0.0
+        intercept = b.mean() - slope * m.mean()
+        merged = (slope * m + intercept).reshape(mapped.shape)
         merged = cv2.resize(merged, (org_size[1], org_size[0]),
                             interpolation=cv2.INTER_CUBIC)
         if mask.shape != org_size:

@@ -125,6 +125,13 @@ def main():
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny models (CPU wiring smoke)")
+    ap.add_argument("--only", type=str, default=None,
+                    choices=["synthetic", "real_workers", "real_serial"],
+                    help="run one config only — at full SD-2.1 scale a "
+                         "single 16G chip cannot hold two configs' "
+                         "states/executables back to back; run each in "
+                         "its own process (same --root to share the "
+                         "dataset/cache)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -146,19 +153,26 @@ def main():
             "--cache_embeddings", cache,
             "--imgp_drop_rate", "0.1", "--imgg_drop_rate", "0.1"]
 
+    configs = {
+        "synthetic": (base + ["--synthetic_data"], "synthetic"),
+        "real_workers": (
+            base + real + ["--dataloader_num_workers", str(args.workers)],
+            f"real+{args.workers}w"),
+        "real_serial": (
+            base + real + ["--dataloader_num_workers", "0"],
+            "real+serial"),
+    }
     results = {}
-    results["synthetic"] = run_config(base + ["--synthetic_data"],
-                                      "synthetic")
-    results["real_workers"] = run_config(
-        base + real + ["--dataloader_num_workers", str(args.workers)],
-        f"real+{args.workers}w")
-    results["real_serial"] = run_config(
-        base + real + ["--dataloader_num_workers", "0"], "real+serial")
+    for name, (argv, label) in configs.items():
+        if args.only and name != args.only:
+            continue
+        results[name] = run_config(argv, label)
 
-    results["workers_vs_synthetic"] = round(
-        results["real_workers"] / results["synthetic"], 4)
-    results["serial_vs_synthetic"] = round(
-        results["real_serial"] / results["synthetic"], 4)
+    if "synthetic" in results:
+        for name in ("real_workers", "real_serial"):
+            if name in results:
+                results[f"{name.split('_')[1]}_vs_synthetic"] = round(
+                    results[name] / results["synthetic"], 4)
     print(json.dumps(results))
 
 
