@@ -45,6 +45,18 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     max_steps = max_train_steps or cfg.max_train_steps
 
+    if mesh is not None:
+        from pcdms_tpu.data.loader import prefetch_to_device
+        batches = prefetch_to_device(batches, mesh, depth=device_prefetch)
+
+    # Pull the first batch BEFORE allocating the optimizer state: the
+    # --cache_embeddings batch generators build their cache (and then
+    # free the ~7 GB frozen encoders) on first next(); initializing
+    # AdamW state first would hold params+opt+encoders simultaneously
+    # and OOM a single 16G chip at SD-2.1 scale.
+    batches = iter(batches)
+    first_batch = next(batches, None)
+
     state = init_train_state(params, cfg)
     start_step = 0
     if resume_from_checkpoint and output_dir:
@@ -58,15 +70,15 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
             logger.info("resumed from %s at step %d", output_dir, start_step)
 
     step_fn = make_train_step(loss_fn, cfg, mesh=mesh)
-    if mesh is not None:
-        from pcdms_tpu.data.loader import prefetch_to_device
-        batches = prefetch_to_device(batches, mesh, depth=device_prefetch)
 
     t_last = time.perf_counter()
     examples_since_log = 0
     step = start_step
     last_saved = start_step if start_step else None
     trace_open = False
+    if first_batch is not None:
+        import itertools
+        batches = itertools.chain([first_batch], batches)
     for batch in batches:
         if step >= max_steps:
             break
