@@ -147,6 +147,9 @@ def main():
     unroll = int(os.environ.get("BENCH_UNROLL", "2"))
     fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     sched = os.environ.get("BENCH_SCHEDULER", "ddim")
+    # encoder-propagation sampling (arXiv 2312.09608): >1 = run the UNet
+    # down-path+mid only on every k-th step (approximate; 1 = exact)
+    enc_prop = int(os.environ.get("BENCH_ENC_PROP", "1"))
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -184,7 +187,8 @@ def main():
         return stage2_generate(
             params, vae_image, st_pose, dino, t_embed,
             jax.random.PRNGKey(seed), unet_cfg=unet_cfg, num_steps=steps,
-            guidance_scale=2.0, scheduler=sched, unroll=unroll)
+            guidance_scale=2.0, scheduler=sched, unroll=unroll,
+            encoder_cache_interval=enc_prop)
 
     # Reduce on device and read ONE scalar back: under the remote-TPU
     # tunnel block_until_ready() does not actually block, and transferring
@@ -204,9 +208,10 @@ def main():
     # estimated A100 img/s/GPU at this workload; derivation in BASELINE.md
     # ("A100 throughput baseline used by bench.py")
     baseline_a100 = 0.25
+    tag = f" enc-prop/{enc_prop}" if enc_prop > 1 else ""
     print(json.dumps({
         "metric": f"stage2 {height}px {steps}-step "
-                  f"{sched.upper()} sampling",
+                  f"{sched.upper()} sampling{tag}",
         "value": round(imgs_per_sec_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_chip / baseline_a100, 3),

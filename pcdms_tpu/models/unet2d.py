@@ -133,6 +133,25 @@ def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
     return params
 
 
+def unet_time_embedding(params, cfg: UNetConfig, timesteps,
+                        class_labels=None, timestep_cond=None,
+                        dtype=jnp.float32):
+    """Time (+ optional class-projection) embedding — the per-step scalar
+    conditioning shared by the encoder and decoder halves."""
+    ch0 = cfg.block_out_channels[0]
+    t_emb = timestep_sinusoidal_embedding(timesteps, ch0).astype(dtype)
+    emb = timestep_embedding_apply(params["time_embedding"], t_emb,
+                                   condition=timestep_cond)
+    if "class_embedding" in params:
+        if class_labels is None:
+            raise ValueError("this UNet requires class_labels")
+        if class_labels.ndim == 3:
+            class_labels = class_labels[:, 0, :]
+        emb = emb + timestep_embedding_apply(params["class_embedding"],
+                                             class_labels.astype(dtype))
+    return emb
+
+
 def unet_apply(params, cfg: UNetConfig, sample, timesteps,
                encoder_hidden_states, class_labels=None, pose_cond=None,
                timestep_cond=None, zero_ctx_prefix: int = 0):
@@ -148,26 +167,36 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
     zero_ctx_prefix: first N batch items have an all-zero
         encoder_hidden_states (CFG uncond half) — their cross-attention
         is computed analytically (see nn/transformer.py).
+
+    Composition of ``unet_time_embedding`` -> ``unet_encode`` ->
+    ``unet_decode`` (the split exists for encoder-propagation sampling,
+    arXiv 2312.09608; calling them in sequence is bit-identical to the
+    monolithic forward).
     """
     dtype = sample.dtype
-    ch0 = cfg.block_out_channels[0]
+    emb = unet_time_embedding(params, cfg, timesteps,
+                              class_labels=class_labels,
+                              timestep_cond=timestep_cond, dtype=dtype)
+    ctx = encoder_hidden_states.astype(dtype)
+    x, skips = unet_encode(params, cfg, sample, emb, ctx,
+                           pose_cond=pose_cond,
+                           zero_ctx_prefix=zero_ctx_prefix)
+    return unet_decode(params, cfg, x, skips, emb, ctx,
+                       zero_ctx_prefix=zero_ctx_prefix)
 
-    t_emb = timestep_sinusoidal_embedding(timesteps, ch0).astype(dtype)
-    emb = timestep_embedding_apply(params["time_embedding"], t_emb,
-                                   condition=timestep_cond)
-    if "class_embedding" in params:
-        if class_labels is None:
-            raise ValueError("this UNet requires class_labels")
-        if class_labels.ndim == 3:
-            class_labels = class_labels[:, 0, :]
-        emb = emb + timestep_embedding_apply(params["class_embedding"],
-                                             class_labels.astype(dtype))
+
+def unet_encode(params, cfg: UNetConfig, sample, emb, ctx,
+                pose_cond=None, zero_ctx_prefix: int = 0):
+    """conv_in + pose injection + down blocks + mid block.
+
+    Returns ``(x_mid, skips)`` where skips is the tuple of residual
+    tensors the decoder consumes (fixed structure — usable as a
+    ``lax.scan`` carry for feature caching)."""
+    dtype = sample.dtype
 
     x = conv2d_apply(params["conv_in"], sample, padding=PAD1)
     if pose_cond is not None:
         x = x + pose_cond.astype(dtype)
-
-    ctx = encoder_hidden_states.astype(dtype)
 
     def down_fn(block, x, emb, ctx):
         return down_block_apply(block, x, emb, ctx, head_dim=cfg.head_dim,
@@ -183,6 +212,23 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
                                fused_conv=cfg.fused_conv,
                                zero_ctx_prefix=zero_ctx_prefix)
 
+    if cfg.remat:
+        down_fn = jax.checkpoint(down_fn)
+        mid_fn = jax.checkpoint(mid_fn)
+
+    skips = [x]
+    for block in params["down_blocks"]:
+        x, block_skips = down_fn(block, x, emb, ctx)
+        skips.extend(block_skips)
+
+    x = mid_fn(params["mid_block"], x, emb, ctx)
+    return x, tuple(skips)
+
+
+def unet_decode(params, cfg: UNetConfig, x, skips, emb, ctx,
+                zero_ctx_prefix: int = 0):
+    """Up blocks + output head, consuming ``unet_encode``'s (x, skips)."""
+
     def up_fn(block, x, block_skips, emb, ctx, freeu=None):
         return up_block_apply(block, x, block_skips, emb, ctx,
                               head_dim=cfg.head_dim,
@@ -192,17 +238,9 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps,
                               zero_ctx_prefix=zero_ctx_prefix)
 
     if cfg.remat:
-        down_fn = jax.checkpoint(down_fn)
-        mid_fn = jax.checkpoint(mid_fn)
         up_fn = jax.checkpoint(up_fn)
 
-    skips = [x]
-    for block in params["down_blocks"]:
-        x, block_skips = down_fn(block, x, emb, ctx)
-        skips.extend(block_skips)
-
-    x = mid_fn(params["mid_block"], x, emb, ctx)
-
+    skips = list(skips)
     for bi, block in enumerate(params["up_blocks"]):
         n = len(block["resnets"])
         block_skips = skips[-n:]

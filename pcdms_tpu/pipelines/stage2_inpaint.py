@@ -31,7 +31,9 @@ from pcdms_tpu.diffusion.schedules import sd21_schedule
 from pcdms_tpu.models.projections import (
     image_proj_mlp_apply, pose_cond_embedding_apply,
 )
-from pcdms_tpu.models.unet2d import UNetConfig, unet_apply
+from pcdms_tpu.models.unet2d import (
+    UNetConfig, unet_apply, unet_decode, unet_encode, unet_time_embedding,
+)
 from pcdms_tpu.models.vae import VAEConfig, vae_decode, vae_encode
 from pcdms_tpu.pipelines.sampling import SAMPLERS
 from pcdms_tpu.utils.tree import cast_pytree
@@ -53,7 +55,8 @@ def build_half_mask(batch: int, latent_h: int, latent_w: int, dtype):
     static_argnames=("unet_cfg", "vae_cfg", "num_steps",
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
-                     "decode", "unroll", "eta"),
+                     "decode", "unroll", "eta",
+                     "encoder_cache_interval"),
 )
 def stage2_generate(params, vae_image, st_pose, dino_features,
                     pred_t_embed, rng, latents=None, *,
@@ -67,7 +70,8 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
                     compute_dtype=jnp.bfloat16,
                     decode: bool = True,
                     unroll: int = 1,
-                    eta: float = 0.0):
+                    eta: float = 0.0,
+                    encoder_cache_interval: int = 1):
     """Generate target-pose images.
 
     params: {"unet", "image_proj", "pose_proj", "vae"} param pytrees.
@@ -81,6 +85,14 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
     Returns (B*num_samples, H, 2W, 3) images in [-1, 1] (or latents if
     decode=False), grouped sample-major: output[i*B + b] is sample i of
     input b.
+
+    encoder_cache_interval > 1 enables encoder-propagation sampling
+    (arXiv 2312.09608 "Faster Diffusion"): the UNet down-path + mid
+    block run only on key steps (every interval-th step, always step 0)
+    and their features are carried through the scan; non-key steps run
+    the decoder only with a fresh time embedding. ~0.45x the UNet cost
+    on non-key steps at the price of an approximation — default 1 keeps
+    the reference-exact sampler.
     """
     schedule = sd21_schedule()
     cparams = cast_pytree(params, compute_dtype)
@@ -148,19 +160,63 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
             jnp.full((n,), guidance_scale, jnp.float32),
             unet_cfg.time_cond_proj_dim).astype(compute_dtype)
 
-    def model_eps(x, t):
+    zp = n if use_cfg else 0
+
+    def make_inp(x, t):
         lat = jnp.concatenate([x] * 2, 0) if use_cfg else x
         inp = jnp.concatenate(
             [lat.astype(compute_dtype), mask_d, masked_d], axis=-1)
-        tt = jnp.broadcast_to(t, (inp.shape[0],))
+        return inp, jnp.broadcast_to(t, (inp.shape[0],))
+
+    def model_eps(x, t):
+        inp, tt = make_inp(x, t)
         eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f,
                          class_labels=class_labels, pose_cond=pose_cond,
-                         timestep_cond=timestep_cond,
-                         zero_ctx_prefix=n if use_cfg else 0)
+                         timestep_cond=timestep_cond, zero_ctx_prefix=zp)
         eps = eps.astype(jnp.float32)
         if use_cfg:
             eps = apply_cfg(eps, guidance_scale, guidance_rescale)
         return eps
+
+    model_carry = None
+    if encoder_cache_interval > 1:
+        def encode_at(x, t):
+            inp, tt = make_inp(x, t)
+            emb = unet_time_embedding(
+                cparams["unet"], unet_cfg, tt, class_labels=class_labels,
+                timestep_cond=timestep_cond, dtype=compute_dtype)
+            return unet_encode(cparams["unet"], unet_cfg, inp, emb,
+                               feature_f, pose_cond=pose_cond,
+                               zero_ctx_prefix=zp), emb
+
+        def model_eps(x, t, mcarry):               # noqa: F811
+            step_i, cache = mcarry
+            inp, tt = make_inp(x, t)
+            emb = unet_time_embedding(
+                cparams["unet"], unet_cfg, tt, class_labels=class_labels,
+                timestep_cond=timestep_cond, dtype=compute_dtype)
+            is_key = (step_i % encoder_cache_interval) == 0
+            cache = jax.lax.cond(
+                is_key,
+                lambda c: unet_encode(cparams["unet"], unet_cfg, inp, emb,
+                                      feature_f, pose_cond=pose_cond,
+                                      zero_ctx_prefix=zp),
+                lambda c: c,
+                cache)
+            h, skips = cache
+            eps = unet_decode(cparams["unet"], unet_cfg, h, skips, emb,
+                              feature_f, zero_ctx_prefix=zp)
+            eps = eps.astype(jnp.float32)
+            if use_cfg:
+                eps = apply_cfg(eps, guidance_scale, guidance_rescale)
+            return eps, (step_i + 1, cache)
+
+        cache_shape = jax.eval_shape(
+            encode_at, jax.ShapeDtypeStruct((n, lh, lw, 4), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))[0]
+        cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                              cache_shape)
+        model_carry = (jnp.zeros((), jnp.int32), cache0)
 
     if latents is not None:
         # explicit initial noise (reference pipelines' `latents` argument;
@@ -175,10 +231,12 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
         # rng_eta with rng_vae)
         rng_eta = jax.random.fold_in(rng, 7)
         latents = ddim_sample_loop(schedule, model_eps, x_init, num_steps,
-                                   unroll, eta=eta, rng=rng_eta)
+                                   unroll, eta=eta, rng=rng_eta,
+                                   model_carry=model_carry)
     else:
         latents = SAMPLERS[scheduler](schedule, model_eps, x_init,
-                                      num_steps, unroll)
+                                      num_steps, unroll,
+                                      model_carry=model_carry)
 
     if not decode:
         return latents
