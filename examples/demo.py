@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--guidance_scale", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--encoder_cache_interval", type=int, default=1,
+                   help=">1 = encoder-propagation speedup (approximate; "
+                        "PERF.md)")
     p.add_argument("--tiny_config", action="store_true",
                    help="tiny model geometry (CI/CPU smoke; implies "
                         "--random_init weights semantics)")
@@ -139,7 +142,8 @@ def main(argv=None):
         params, jnp.asarray(canvas)[None], jnp.asarray(pose_canvas)[None],
         feats, None, jax.random.PRNGKey(args.seed), unet_cfg=unet_cfg,
         num_steps=args.steps, guidance_scale=args.guidance_scale,
-        scheduler="ddim", **gen_kwargs)
+        scheduler="ddim",
+        encoder_cache_interval=args.encoder_cache_interval, **gen_kwargs)
     # right half = generated target
     target = np.asarray(images)[:, :, size:, :]
     save_images(target, [args.out])

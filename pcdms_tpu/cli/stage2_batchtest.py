@@ -55,6 +55,11 @@ def parse_args(argv=None):
                         "--batch_size 2 with 4 samples); the default "
                         "assumes a v5e-8 slice")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--encoder_cache_interval", type=int, default=1,
+                   help=">1 = encoder-propagation sampling (UNet "
+                        "down-path runs every k-th step only; ~+20% "
+                        "img/s at 2 on v5e, approximate — see PERF.md). "
+                        "1 (default) = reference-exact")
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--simple_variant", action="store_true",
                    help="released simplified ckpt: no prior/class embed")
@@ -211,7 +216,9 @@ def main(argv=None):
             embeds, jax.random.PRNGKey(args.seed + start), latents=latents,
             unet_cfg=unet_cfg, num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, scheduler=args.scheduler,
-            num_samples=args.num_images_per_prompt, **gen_kwargs)
+            num_samples=args.num_images_per_prompt,
+            encoder_cache_interval=args.encoder_cache_interval,
+            **gen_kwargs)
         images = np.asarray(images)
 
         w = args.img_width
