@@ -29,7 +29,7 @@ import sys
 import time
 
 
-def _cascade(batch, height, reps, tiny):
+def _cascade(batch, height, reps, tiny, enc_prop=1):
     """Full 3-stage cascade throughput (images/sec/chip of refined
     outputs). Reference equivalent: run_test_stage{1,2,3}.sh chained
     through disk; here everything stays on device (pipelines/cascade.py).
@@ -95,7 +95,8 @@ def _cascade(batch, height, reps, tiny):
             vae_image, st_pose, dino, jax.random.PRNGKey(seed),
             prior_cfg=prior_cfg, stage2_cfg=s2_cfg, stage3_cfg=s3_cfg,
             vae_cfg=vae_cfg, prior_steps=20, inpaint_steps=20,
-            refine_steps=20, guidance_scale=2.0, scheduler="unipc")
+            refine_steps=20, guidance_scale=2.0, scheduler="unipc",
+            encoder_cache_interval=enc_prop)
         return out["refined"]
 
     sync(run(0))                          # compile all three stages
@@ -111,8 +112,9 @@ def _cascade(batch, height, reps, tiny):
     # add ~45% more UNet-step work (stage3 at half canvas ~= 0.5x stage2
     # per step, prior ~epsilon) -> ~0.43 img/s end-to-end (BASELINE.md)
     baseline = 0.43
+    tag = f" enc-prop/{enc_prop}" if enc_prop > 1 else ""
     print(json.dumps({
-        "metric": f"3-stage cascade {height}px 20-step UniPC",
+        "metric": f"3-stage cascade {height}px 20-step UniPC{tag}",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
@@ -126,7 +128,8 @@ def main():
             batch=int(os.environ.get("BENCH_BATCH", "8")),
             height=int(os.environ.get("BENCH_HEIGHT", "512")),
             reps=int(os.environ.get("BENCH_REPS", "3")),
-            tiny=os.environ.get("BENCH_TINY", "0") == "1")
+            tiny=os.environ.get("BENCH_TINY", "0") == "1",
+            enc_prop=int(os.environ.get("BENCH_ENC_PROP", "1")))
     import jax
     import jax.numpy as jnp
 

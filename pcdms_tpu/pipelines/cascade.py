@@ -34,7 +34,8 @@ def cascade_generate(stage1_params, stage2_params, stage3_params,
                      refine_steps: int = 20,
                      guidance_scale: float = 2.0,
                      scheduler: str = "unipc",
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16,
+                     encoder_cache_interval: int = 1):
     """Run prior -> inpaint -> refine.
 
     s_embed: (B, 1024) source CLIP embedding.
@@ -55,7 +56,8 @@ def cascade_generate(stage1_params, stage2_params, stage3_params,
         stage2_params, vae_image, st_pose_image, dino_feats,
         embeds[:, None, :], r2, unet_cfg=stage2_cfg, vae_cfg=vae_cfg,
         num_steps=inpaint_steps, guidance_scale=guidance_scale,
-        scheduler=scheduler, compute_dtype=compute_dtype)
+        scheduler=scheduler, compute_dtype=compute_dtype,
+        encoder_cache_interval=encoder_cache_interval)
 
     # right half of the canvas = generated target
     half = inpainted.shape[2] // 2
@@ -65,6 +67,7 @@ def cascade_generate(stage1_params, stage2_params, stage3_params,
         stage3_params, target, dino_feats, r3, unet_cfg=stage3_cfg,
         vae_cfg=vae_cfg, num_steps=refine_steps,
         guidance_scale=guidance_scale, scheduler=scheduler,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        encoder_cache_interval=encoder_cache_interval)
 
     return {"embeds": embeds, "inpainted": inpainted, "refined": refined}

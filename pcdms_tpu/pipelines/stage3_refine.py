@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from pcdms_tpu.diffusion.guidance import apply_cfg
 from pcdms_tpu.diffusion.schedules import sd21_schedule
 from pcdms_tpu.models.projections import image_proj_mlp_apply
-from pcdms_tpu.models.unet2d import UNetConfig, unet_apply
+from pcdms_tpu.models.unet2d import (
+    UNetConfig, unet_apply, unet_decode, unet_encode, unet_time_embedding,
+)
 from pcdms_tpu.models.vae import VAEConfig, vae_decode, vae_encode
 from pcdms_tpu.pipelines.sampling import SAMPLERS
 from pcdms_tpu.utils.tree import cast_pytree
@@ -28,7 +30,8 @@ from pcdms_tpu.utils.tree import cast_pytree
     static_argnames=("unet_cfg", "vae_cfg", "num_steps",
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
-                     "decode", "unroll", "eta"),
+                     "decode", "unroll", "eta",
+                     "encoder_cache_interval"),
 )
 def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     unet_cfg: UNetConfig,
@@ -41,13 +44,17 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     compute_dtype=jnp.bfloat16,
                     decode: bool = True,
                     unroll: int = 1,
-                    eta: float = 0.0):
+                    eta: float = 0.0,
+                    encoder_cache_interval: int = 1):
     """Refine stage-2 outputs.
 
     params: {"unet", "image_proj", "vae"}.
     gen_image: (B, H, W, 3) stage-2 generated target image in [-1, 1].
     dino_features: (B, 257, 1536) DINOv2 features of the *source* image.
     Returns (B*num_samples, H, W, 3) refined images in [-1, 1].
+
+    encoder_cache_interval > 1 enables encoder-propagation sampling
+    (see stage2_inpaint.stage2_generate; default 1 = exact).
     """
     schedule = sd21_schedule()
     cparams = cast_pytree(params, compute_dtype)
@@ -78,16 +85,57 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
         gen_d = gen_latents
     gen_d = gen_d.astype(compute_dtype)
 
-    def model_eps(x, t):
+    zp = n if use_cfg else 0
+
+    def make_inp(x, t):
         lat = jnp.concatenate([x] * 2, 0) if use_cfg else x
         inp = jnp.concatenate([lat.astype(compute_dtype), gen_d], axis=-1)
-        tt = jnp.broadcast_to(t, (inp.shape[0],))
+        return inp, jnp.broadcast_to(t, (inp.shape[0],))
+
+    def model_eps(x, t):
+        inp, tt = make_inp(x, t)
         eps = unet_apply(cparams["unet"], unet_cfg, inp, tt, feature_f,
-                         zero_ctx_prefix=n if use_cfg else 0)
+                         zero_ctx_prefix=zp)
         eps = eps.astype(jnp.float32)
         if use_cfg:
             eps = apply_cfg(eps, guidance_scale, guidance_rescale)
         return eps
+
+    model_carry = None
+    if encoder_cache_interval > 1:
+        def encode_at(x, t):
+            inp, tt = make_inp(x, t)
+            emb = unet_time_embedding(cparams["unet"], unet_cfg, tt,
+                                      dtype=compute_dtype)
+            return unet_encode(cparams["unet"], unet_cfg, inp, emb,
+                               feature_f, zero_ctx_prefix=zp)
+
+        def model_eps(x, t, mcarry):               # noqa: F811
+            step_i, cache = mcarry
+            inp, tt = make_inp(x, t)
+            emb = unet_time_embedding(cparams["unet"], unet_cfg, tt,
+                                      dtype=compute_dtype)
+            is_key = (step_i % encoder_cache_interval) == 0
+            cache = jax.lax.cond(
+                is_key,
+                lambda c: unet_encode(cparams["unet"], unet_cfg, inp, emb,
+                                      feature_f, zero_ctx_prefix=zp),
+                lambda c: c,
+                cache)
+            h, skips = cache
+            eps = unet_decode(cparams["unet"], unet_cfg, h, skips, emb,
+                              feature_f, zero_ctx_prefix=zp)
+            eps = eps.astype(jnp.float32)
+            if use_cfg:
+                eps = apply_cfg(eps, guidance_scale, guidance_rescale)
+            return eps, (step_i + 1, cache)
+
+        cache_shape = jax.eval_shape(
+            encode_at, jax.ShapeDtypeStruct((n, lh, lw, 4), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
+        cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                              cache_shape)
+        model_carry = (jnp.zeros((), jnp.int32), cache0)
 
     if latents is not None:
         x_init = latents.astype(jnp.float32)
@@ -99,10 +147,12 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
         # rng_eta with rng_vae)
         rng_eta = jax.random.fold_in(rng, 7)
         latents = ddim_sample_loop(schedule, model_eps, x_init, num_steps,
-                                   unroll, eta=eta, rng=rng_eta)
+                                   unroll, eta=eta, rng=rng_eta,
+                                   model_carry=model_carry)
     else:
         latents = SAMPLERS[scheduler](schedule, model_eps, x_init,
-                                      num_steps, unroll)
+                                      num_steps, unroll,
+                                      model_carry=model_carry)
 
     if not decode:
         return latents

@@ -135,3 +135,70 @@ class TestEncoderPropagationPipeline:
     def test_eta_path_supports_cache(self, s2_models):
         out = self._run(s2_models, 2, scheduler="ddim", eta=0.5)
         assert np.isfinite(np.asarray(out)).all()
+
+
+UNET3_CFG = UNetConfig(in_channels=8, block_out_channels=(8, 16, 16, 16),
+                       layers_per_block=1, cross_attention_dim=16,
+                       head_dim=8, norm_groups=4, use_flash=False)
+
+
+class TestStage3EncoderPropagation:
+    @pytest.fixture(scope="class")
+    def s3_models(self):
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        return {"unet": unet_init(ks[0], UNET3_CFG),
+                "image_proj": image_proj_mlp_init(ks[1], 24, 16, 16),
+                "vae": vae_init(ks[2], VAE_CFG)}
+
+    def _run(self, models, interval, num_steps=4):
+        from pcdms_tpu.pipelines.stage3_refine import stage3_generate
+        k = jax.random.PRNGKey(11)
+        gen = jax.random.uniform(k, (1, 64, 64, 3), minval=-1, maxval=1)
+        dino = jax.random.normal(jax.random.fold_in(k, 1), (1, 5, 24))
+        return stage3_generate(models, gen, dino, jax.random.PRNGKey(0),
+                               unet_cfg=UNET3_CFG, vae_cfg=VAE_CFG,
+                               num_steps=num_steps, guidance_scale=2.0,
+                               scheduler="unipc",
+                               compute_dtype=jnp.float32,
+                               encoder_cache_interval=interval)
+
+    def test_runs_and_finite(self, s3_models):
+        out = self._run(s3_models, 2)
+        assert out.shape == (1, 64, 64, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_interval_one_bit_parity(self, s3_models):
+        a = self._run(s3_models, 1)
+        b = self._run(s3_models, 2, num_steps=1)   # single step = key only
+        c = self._run(s3_models, 1, num_steps=1)
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+        assert np.isfinite(np.asarray(a)).all()
+
+
+class TestCascadeEncoderPropagation:
+    def test_cascade_forwards_interval(self, s2_models):
+        from pcdms_tpu.models.prior_transformer import (
+            PriorConfig, prior_init,
+        )
+        from pcdms_tpu.pipelines.cascade import cascade_generate
+        prior_cfg = PriorConfig(num_heads=2, head_dim=8, num_layers=2,
+                                embedding_dim=16, pose_hidden=8)
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        prior = prior_init(ks[0], prior_cfg)
+        s3 = {"unet": unet_init(ks[1], UNET3_CFG),
+              "image_proj": image_proj_mlp_init(ks[2], 24, 16, 16),
+              "vae": s2_models["vae"]}
+        k = jax.random.PRNGKey(6)
+        out = cascade_generate(
+            prior, s2_models, s3,
+            jax.random.normal(k, (1, 16)),
+            jnp.zeros((1, 36)), jnp.full((1, 36), 0.5),
+            jax.random.uniform(k, (1, 64, 128, 3), minval=-1, maxval=1),
+            jax.random.uniform(k, (1, 64, 128, 3), minval=-1, maxval=1),
+            jax.random.normal(k, (1, 5, 24)),
+            jax.random.PRNGKey(7), prior_cfg=prior_cfg,
+            stage2_cfg=UNET_CFG, stage3_cfg=UNET3_CFG, vae_cfg=VAE_CFG,
+            prior_steps=2, inpaint_steps=3, refine_steps=3,
+            compute_dtype=jnp.float32, encoder_cache_interval=2)
+        assert np.isfinite(np.asarray(out["refined"])).all()
+        assert out["refined"].shape == (1, 64, 64, 3)
