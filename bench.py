@@ -105,8 +105,7 @@ def _cascade(batch, height, reps, tiny, enc_prop=1):
         sync(run(i + 1))
     dt = time.perf_counter() - t0
 
-    import jax as _jax
-    ips = (batch * reps) / dt / _jax.device_count()
+    ips = (batch * reps) / dt / jax.device_count()
     # A100 cascade estimate: the 0.25 img/s stage-2 figure at the 20-step
     # UniPC protocol scales to ~0.62 img/s (50/20 steps), and stages 1+3
     # add ~45% more UNet-step work (stage3 at half canvas ~= 0.5x stage2

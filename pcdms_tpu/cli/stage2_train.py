@@ -76,7 +76,6 @@ def build_models(args):
     if args.tiny_config:
         from pcdms_tpu.cli.common import tiny_configs
         from pcdms_tpu.models.vit import vit_init
-        from pcdms_tpu.models.vae import VAEConfig  # noqa: F401
         tiny = tiny_configs()
         unet_cfg = tiny.unet2(with_class_embed=True)
         if args.gradient_checkpointing:

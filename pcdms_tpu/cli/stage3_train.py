@@ -84,7 +84,6 @@ def build_models(args):
         dino = None if args.synthetic_data else \
             load_dinov2(args.image_encoder_p_path)
     trainable = {"unet": unet, "image_proj": image_proj_mlp_init(k4)}
-    from pcdms_tpu.cli.stage2_train import ModelAux
     return unet_cfg, trainable, vae, dino, ModelAux()
 
 

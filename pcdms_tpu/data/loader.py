@@ -71,11 +71,11 @@ class DataLoader:
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  epochs: Optional[int] = None, prefetch_batches: int = 2):
         n = len(dataset)
-        if drop_last and n < batch_size:
+        if n == 0 or (drop_last and n < batch_size):
             raise ValueError(
-                f"dataset has {n} examples < batch_size {batch_size} with "
-                "drop_last=True: no batch can ever be formed (with "
-                "epochs=None this would spin forever)")
+                f"dataset has {n} examples (batch_size {batch_size}, "
+                f"drop_last={drop_last}): no batch can ever be formed "
+                "(with epochs=None this would spin forever)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = resolve_num_workers(num_workers)

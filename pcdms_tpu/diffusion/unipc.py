@@ -166,31 +166,36 @@ def unipc_sample(schedule: NoiseSchedule, model_x0_fn: Callable,
     Returns the final sample (x0-domain).
     """
     co = unipc_coeffs(schedule, num_inference_steps, spacing)
-    if model_carry is None:
-        def call(x, t, mc):
-            return model_x0_fn(x, t), mc
-        carry0 = 0
-    else:
-        call, carry0 = model_x0_fn, model_carry
+    carried = model_carry is not None
 
     def step(carry, per_step):
-        x, m_prev, m_prev2, last_x, mc = carry
+        if carried:
+            x, m_prev, m_prev2, last_x, mc = carry
+        else:
+            x, m_prev, m_prev2, last_x = carry
         (t, p_h, p_r0, p_sr, p_a, p_o2,
          c_h, c_r0, c_sr, c_a, c_o2, c_en) = per_step
 
-        m_t, mc = call(x, t, mc)
+        if carried:
+            m_t, mc = model_x0_fn(x, t, mc)
+        else:
+            m_t = model_x0_fn(x, t)
 
         corrected = _corrector(last_x, m_prev, m_prev2, m_t,
                                c_h, c_r0, c_sr, c_a, c_o2)
         x = jnp.where(c_en, corrected, x)
 
         x_next = _predictor(x, m_t, m_prev, p_h, p_r0, p_sr, p_a, p_o2)
-        return (x_next, m_t, m_prev, x, mc), None
+        if carried:
+            return (x_next, m_t, m_prev, x, mc), None
+        return (x_next, m_t, m_prev, x), None
 
     init = (x_init, jnp.zeros_like(x_init), jnp.zeros_like(x_init),
-            jnp.zeros_like(x_init), carry0)
+            jnp.zeros_like(x_init))
+    if carried:
+        init = init + (model_carry,)
     per_step = (co.timesteps, co.p_h, co.p_r0, co.p_sigma_ratio, co.p_alpha,
                 co.p_order2, co.c_h, co.c_r0, co.c_sigma_ratio, co.c_alpha,
                 co.c_order2, co.c_enabled)
-    (x, _, _, _, _), _ = jax.lax.scan(step, init, per_step, unroll=unroll)
-    return x
+    out, _ = jax.lax.scan(step, init, per_step, unroll=unroll)
+    return out[0]

@@ -26,25 +26,23 @@ from pcdms_tpu.diffusion.schedules import NoiseSchedule
 from pcdms_tpu.diffusion.unipc import unipc_sample
 
 
-def _wrap(model_fn, model_carry):
-    """Normalize to the carried contract; None carry -> dummy carry."""
-    if model_carry is None:
-        def call(x, t, carry):
-            return model_fn(x, t), carry
-        return call, 0
-    return model_fn, model_carry
-
-
 def ddim_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
                      x_init, num_steps: int, unroll: int = 1,
                      eta: float = 0.0, rng=None, model_carry=None):
     """DDIM; deterministic for eta=0, ancestral for eta>0 (requires rng).
     model_eps_fn(x, t) -> epsilon (or (x, t, carry) -> (eps, carry) when
-    model_carry is given)."""
+    model_carry is given; with model_carry=None the scan carry and graph
+    are exactly the classic ones)."""
     ts, cx0, ceps, sigma = ddim_step_tables(schedule, num_steps, eta=eta)
     sa = jnp.asarray(schedule.sqrt_alphas_cumprod[np.asarray(ts)])
     ssg = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod[np.asarray(ts)])
-    call, carry0 = _wrap(model_eps_fn, model_carry)
+    carried = model_carry is not None
+
+    def split(c):
+        return c if carried else (c, None)
+
+    def join(x, mc):
+        return (x, mc) if carried else x
 
     if eta > 0.0:
         if rng is None:
@@ -52,29 +50,36 @@ def ddim_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
         step_rngs = jax.random.split(rng, num_steps)
 
         def step(c, per):
-            x, mc = c
+            x, mc = split(c)
             t, a_prev, e_prev, a_t, s_t, sig, r = per
-            eps, mc = call(x, t, mc)
+            if carried:
+                eps, mc = model_eps_fn(x, t, mc)
+            else:
+                eps = model_eps_fn(x, t)
             x0 = (x - s_t * eps) / a_t
             z = jax.random.normal(r, x.shape, x.dtype)
-            return (a_prev * x0 + e_prev * eps + sig * z, mc), None
+            return join(a_prev * x0 + e_prev * eps + sig * z, mc), None
 
-        (x, _), _ = jax.lax.scan(
-            step, (x_init, carry0),
+        init = join(x_init, model_carry)
+        out, _ = jax.lax.scan(
+            step, init,
             (ts, cx0, ceps, sa, ssg, jnp.asarray(sigma), step_rngs),
             unroll=unroll)
-        return x
+        return split(out)[0]
 
     def step(c, per):
-        x, mc = c
+        x, mc = split(c)
         t, a_prev, e_prev, a_t, s_t = per
-        eps, mc = call(x, t, mc)
+        if carried:
+            eps, mc = model_eps_fn(x, t, mc)
+        else:
+            eps = model_eps_fn(x, t)
         x0 = (x - s_t * eps) / a_t
-        return (a_prev * x0 + e_prev * eps, mc), None
+        return join(a_prev * x0 + e_prev * eps, mc), None
 
-    (x, _), _ = jax.lax.scan(step, (x_init, carry0),
-                             (ts, cx0, ceps, sa, ssg), unroll=unroll)
-    return x
+    out, _ = jax.lax.scan(step, join(x_init, model_carry),
+                          (ts, cx0, ceps, sa, ssg), unroll=unroll)
+    return split(out)[0]
 
 
 def unipc_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
@@ -82,16 +87,25 @@ def unipc_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
                       model_carry=None):
     """UniPC order-2 predictor-corrector over an epsilon-prediction model."""
     ac = jnp.asarray(schedule.alphas_cumprod)
-    call, carry0 = _wrap(model_eps_fn, model_carry)
+
+    if model_carry is None:
+        def model_x0(x, t):
+            a = jnp.sqrt(ac[t])
+            s = jnp.sqrt(1.0 - ac[t])
+            eps = model_eps_fn(x, t)
+            return (x - s * eps) / a
+
+        return unipc_sample(schedule, model_x0, x_init, num_steps,
+                            unroll=unroll)
 
     def model_x0(x, t, carry):
         a = jnp.sqrt(ac[t])
         s = jnp.sqrt(1.0 - ac[t])
-        eps, carry = call(x, t, carry)
+        eps, carry = model_eps_fn(x, t, carry)
         return (x - s * eps) / a, carry
 
     return unipc_sample(schedule, model_x0, x_init, num_steps,
-                        unroll=unroll, model_carry=carry0)
+                        unroll=unroll, model_carry=model_carry)
 
 
 SAMPLERS = {"ddim": ddim_sample_loop, "unipc": unipc_sample_loop}

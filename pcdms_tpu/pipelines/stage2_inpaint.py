@@ -187,7 +187,7 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
                 timestep_cond=timestep_cond, dtype=compute_dtype)
             return unet_encode(cparams["unet"], unet_cfg, inp, emb,
                                feature_f, pose_cond=pose_cond,
-                               zero_ctx_prefix=zp), emb
+                               zero_ctx_prefix=zp)
 
         def model_eps(x, t, mcarry):               # noqa: F811
             step_i, cache = mcarry
@@ -213,7 +213,7 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
 
         cache_shape = jax.eval_shape(
             encode_at, jax.ShapeDtypeStruct((n, lh, lw, 4), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.int32))[0]
+            jax.ShapeDtypeStruct((), jnp.int32))
         cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                               cache_shape)
         model_carry = (jnp.zeros((), jnp.int32), cache0)

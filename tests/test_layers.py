@@ -10,7 +10,9 @@ from pcdms_tpu.nn import layers as L
 
 
 def _np(x):
-    return np.asarray(x)
+    # copy: jax arrays export read-only buffers, and torch.from_numpy
+    # warns (once, program-wide) on non-writable input
+    return np.array(x)
 
 
 class TestLinear:

@@ -122,6 +122,16 @@ class TestWorkerInvariance:
         with pytest.raises(ValueError, match="no batch can ever be formed"):
             DataLoader(_stage2(dataset_dir), 16)
 
+    def test_empty_dataset_raises_even_without_drop_last(self):
+        # with drop_last=False an empty dataset used to busy-spin forever
+        # in _index_batches (epochs=None yields nothing, epoch += 1)
+        class Empty:
+            def __len__(self):
+                return 0
+
+        with pytest.raises(ValueError, match="no batch can ever be formed"):
+            DataLoader(Empty(), 4, drop_last=False)
+
     def test_worker_exception_propagates(self, dataset_dir):
         class Boom:
             def __len__(self):

@@ -303,7 +303,10 @@ def _ref_body(person, body_mod):
                                total_parts=person.total_parts)
 
 
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
 def test_hand_face_boxes_match_reference():
+    # (filterwarnings: the reference's own body.py imports the deprecated
+    # scipy.ndimage.filters namespace — not ours to fix)
     # import the reference's open_pose/util.py as a standalone package —
     # going through src.controlnet_aux.__init__ would pull all 25
     # detectors (torchvision, skimage, mediapipe... absent here); util

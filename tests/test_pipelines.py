@@ -5,6 +5,19 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop compiled-executable caches accumulated by the preceding ~250
+    tests before this module's large pipeline compiles: with the full
+    suite's state resident, the XLA CPU backend_compile segfaulted
+    reproducibly (3/3 runs) while compiling the cascade's stage-3 graph,
+    and never in isolation or subsets — an upstream compiler-state issue
+    this fixture works around."""
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
 from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
 from pcdms_tpu.models.projections import (
     image_proj_mlp_init, pose_cond_embedding_init,

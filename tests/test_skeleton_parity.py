@@ -130,9 +130,12 @@ def test_facepose_pixel_parity_dwpose_variant(ref_util):
     np.testing.assert_array_equal(ours, np.asarray(ref))
 
 
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
 def test_facepose_pixel_parity_openpose_variant():
     """draw_facepose vs open_pose/util.py:172 (List[Keypoint] protocol),
-    drawn over an existing body render as openpose_face composes it."""
+    drawn over an existing body render as openpose_face composes it.
+    (filterwarnings: the reference's own body.py imports the deprecated
+    scipy.ndimage.filters namespace — not ours to fix.)"""
     try:
         ref_util2, ref_body = _ref_openpose_util()
     except Exception as e:  # pragma: no cover - env guard
