@@ -53,6 +53,11 @@ def add_common_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--report_to", type=str, default=None)
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state along the data axis")
+    p.add_argument("--dcn_slices", type=int, default=1,
+                   help="number of TPU slices (pods) the devices span: "
+                        ">1 builds a hybrid (dcn, data) mesh so ZeRO-1 "
+                        "collectives stay on ICI and only the gradient "
+                        "all-reduce crosses the data-center network")
     p.add_argument("--random_init", action="store_true",
                    help="random-init all models (smoke testing without "
                         "local checkpoints)")
@@ -93,8 +98,10 @@ def compute_dtype_from_args(args):
     return jnp.float32 if args.mixed_precision == "no" else jnp.bfloat16
 
 
-def default_mesh():
-    from pcdms_tpu.parallel.mesh import make_mesh
+def default_mesh(num_slices: int = 1):
+    from pcdms_tpu.parallel.mesh import make_hybrid_mesh, make_mesh
+    if num_slices > 1:
+        return make_hybrid_mesh(num_slices)
     return make_mesh()
 
 

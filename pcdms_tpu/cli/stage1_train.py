@@ -155,7 +155,7 @@ def main(argv=None):
 
     loss_fn = stage1_loss_fn(prior_cfg, noise_offset=args.noise_offset,
                              compute_dtype=dtype)
-    mesh = default_mesh()
+    mesh = default_mesh(args.dcn_slices)
     batches = make_batches(args, clip, clip_cfg=clip_cfg,
                            embed_dim=prior_cfg.embedding_dim)
     clip = None      # generator owns the encoder ref now (see stage2)

@@ -276,7 +276,7 @@ def main(argv=None):
     loss_kwargs = {} if aux.vae_cfg is None else {"vae_cfg": aux.vae_cfg}
     loss_fn = stage2_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
                              compute_dtype=dtype, **loss_kwargs)
-    mesh = default_mesh()
+    mesh = default_mesh(args.dcn_slices)
     batches = make_batches(args, clip, dino, clip_cfg=aux.clip_cfg,
                            dino_cfg=aux.dino_cfg, aux=aux)
     # the generator owns the encoder refs now (and drops them after the

@@ -177,7 +177,7 @@ def main(argv=None):
     loss_kwargs = {} if aux.vae_cfg is None else {"vae_cfg": aux.vae_cfg}
     loss_fn = stage3_loss_fn(unet_cfg, vae, noise_offset=args.noise_offset,
                              compute_dtype=dtype, **loss_kwargs)
-    mesh = default_mesh()
+    mesh = default_mesh(args.dcn_slices)
     batches = make_batches(args, dino, dino_cfg=aux.dino_cfg, aux=aux)
     dino = None      # generator owns the encoder ref now (see stage2)
     run_training(loss_fn, trainable, batches, tcfg, mesh=mesh,

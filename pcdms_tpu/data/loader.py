@@ -127,7 +127,7 @@ class DataLoader:
 
 
 def prefetch_to_device(batches, mesh, depth: int = 2,
-                       axis_name: str = "data"):
+                       axis_name=None):
     """Shard each host batch onto the mesh ``depth`` batches ahead of the
     consumer. ``device_put`` is asynchronous, so the host→HBM copies for
     batch N+1/N+2 overlap the device step on batch N — the reference gets

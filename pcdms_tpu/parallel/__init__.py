@@ -1,4 +1,4 @@
 from pcdms_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated_sharding, zero1_shardings,
-    shard_batch,
+    make_mesh, make_hybrid_mesh, batch_sharding, replicated_sharding,
+    zero1_shardings, shard_batch,
 )

@@ -1,10 +1,12 @@
 """Device mesh and sharding rules.
 
 Replaces the reference's accelerate/DeepSpeed/NCCL stack (SURVEY.md §2.6)
-with a single-controller SPMD program: one 1-D ``('data',)`` mesh over a
+with a single-controller SPMD program: a 1-D ``('data',)`` mesh over a
 v5e slice's ICI, NamedSharding on batch dimensions, XLA-emitted collectives
 for gradient reduction, and optional ZeRO-1-style optimizer-state sharding
-along the data axis. Multi-host scale-out only changes the device list.
+along the data axis. Multi-host scale-out only changes the device list;
+multi-*slice* scale-out (crossing DCN) uses the 2-axis hybrid mesh
+(``make_hybrid_mesh``) that pins ZeRO-1 collectives to ICI.
 """
 
 from __future__ import annotations
@@ -23,8 +25,48 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension across the mesh."""
+def make_hybrid_mesh(num_slices: int,
+                     devices: Optional[Sequence] = None,
+                     dcn_axis: str = "dcn",
+                     ici_axis: str = "data") -> Mesh:
+    """A 2-axis ``(dcn, data)`` mesh for multi-slice (multi-pod) training.
+
+    Axis 0 (``dcn``) crosses slice boundaries — the slow data-center
+    network; axis 1 (``data``) stays inside a slice's ICI. Shardings that
+    name only ``data`` (e.g. the ZeRO-1 optimizer shards) therefore emit
+    collectives that ride ICI only; the once-per-step gradient all-reduce
+    is the single collective that crosses DCN — the standard multi-slice
+    data-parallel recipe. On real TPU slices the device grid comes from
+    ``mesh_utils.create_hybrid_device_mesh`` (granule-aware ordering);
+    hosts without ``slice_index`` metadata (CPU meshes in tests, the
+    driver's virtual mesh) fall back to a row-major reshape, which is
+    exact when devices are already enumerated slice-major.
+    """
+    import numpy as np
+
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if num_slices <= 0 or n % num_slices:
+        raise ValueError(
+            f"{n} devices do not divide into {num_slices} slices")
+    per_slice = n // num_slices
+    try:
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (num_slices, 1), devices=devices)
+    except Exception:  # no slice_index metadata (CPU / virtual devices)
+        grid = np.asarray(devices).reshape(num_slices, per_slice)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
+def batch_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh.
+
+    By default the batch shards jointly over *every* mesh axis (pure data
+    parallelism — on a hybrid ``(dcn, data)`` mesh each device still holds
+    ``batch / n_devices`` examples); pass ``axis_name`` to pin a subset."""
+    if axis_name is None:
+        axis_name = tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axis_name))
 
 
@@ -52,13 +94,14 @@ def zero1_shardings(tree, mesh: Mesh, axis_name: str = "data",
     return jax.tree.map(rule, tree)
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a host batch onto the mesh, sharded along the batch axis."""
+def shard_batch(batch, mesh: Mesh, axis_name=None):
+    """Place a host batch onto the mesh, sharded along the batch axis
+    (over every mesh axis by default — see ``batch_sharding``)."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def pad_and_shard(mesh: Mesh, *arrays, axis_name: str = "data"):
+def pad_and_shard(mesh: Mesh, *arrays, axis_name=None):
     """Pad each array's leading (batch) dim up to a multiple of the mesh
     size — repeating the final element, so padded rows compute valid (if
     redundant) results — and place it on the mesh sharded along the batch

@@ -11,7 +11,10 @@ from pcdms_tpu.models.projections import (
 )
 from pcdms_tpu.models.unet2d import UNetConfig, unet_init
 from pcdms_tpu.models.vae import VAEConfig, vae_init
-from pcdms_tpu.parallel.mesh import make_mesh, shard_batch, zero1_shardings
+from pcdms_tpu.parallel.mesh import (
+    batch_sharding, make_hybrid_mesh, make_mesh, shard_batch,
+    zero1_shardings,
+)
 from pcdms_tpu.train.common import (
     TrainConfig, init_train_state, make_train_step,
 )
@@ -167,6 +170,52 @@ class TestShardedStep:
         for a, b in zip(leaves1, leaves2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+    def test_hybrid_mesh_geometry(self):
+        """make_hybrid_mesh splits 8 devices into 2 virtual slices x 4."""
+        mesh = make_hybrid_mesh(2)
+        assert mesh.axis_names == ("dcn", "data")
+        assert mesh.shape["dcn"] == 2 and mesh.shape["data"] == 4
+        with pytest.raises(ValueError, match="do not divide"):
+            make_hybrid_mesh(3)
+
+        # batch shards jointly over both axes: 1 example per device
+        b = shard_batch({"x": np.zeros((8, 4), np.float32)}, mesh)
+        shard_shapes = {s.data.shape for s in b["x"].addressable_shards}
+        assert shard_shapes == {(1, 4)}
+
+    def test_hybrid_mesh_step_matches_single_device(self):
+        """The multi-slice (dcn, data) train step is numerically the same
+        program as single-device — DCN placement changes collectives, not
+        math — and its ZeRO-1 shards never name the dcn axis (optimizer
+        gathers must ride ICI only)."""
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        batch = stage1_batch(b=8)
+        rng = jax.random.PRNGKey(5)
+        cfg = TrainConfig(lr_warmup_steps=1, zero1=True)
+
+        s1 = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f1 = make_train_step(loss_fn, cfg)
+        s1, m1 = f1(s1, batch, rng)
+
+        mesh = make_hybrid_mesh(2)
+        s2 = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f2 = make_train_step(loss_fn, cfg, mesh=mesh)
+        s2, m2 = f2(s2, shard_batch(batch, mesh), rng)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1["params"]),
+                        jax.tree.leaves(s2["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+        for leaf in jax.tree.leaves(s2["opt_state"]):
+            spec = leaf.sharding.spec
+            flat = [a for e in spec if e is not None
+                    for a in ((e,) if isinstance(e, str) else e)]
+            assert "dcn" not in flat, spec
 
     def test_zero1_shardings_rules(self):
         mesh = make_mesh()
