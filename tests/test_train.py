@@ -231,6 +231,35 @@ class TestShardedStep:
         assert shardings["odd"].spec == jax.sharding.PartitionSpec()
 
 
+class TestPreemption:
+    def test_sigterm_checkpoints_and_stops(self, tmp_path):
+        """SIGTERM mid-run stops at the next step boundary, writes a final
+        checkpoint at the interrupted step, and restores the previous
+        signal handler (reference has no preemption handling at all)."""
+        import signal
+
+        from pcdms_tpu.train import checkpoint as ckpt
+        from pcdms_tpu.train.loop import run_training
+
+        before = signal.getsignal(signal.SIGTERM)
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+
+        def batches():
+            for i in range(100):
+                if i == 3:  # delivered synchronously in the main thread
+                    signal.raise_signal(signal.SIGTERM)
+                yield stage1_batch()
+
+        state = run_training(
+            loss_fn, params, batches(), TCFG, output_dir=str(tmp_path),
+            checkpointing_steps=1000, max_train_steps=100, log_every=1000)
+
+        assert int(state["step"]) == 3          # stopped, not exhausted
+        assert ckpt.latest_step(str(tmp_path)) == 3
+        assert signal.getsignal(signal.SIGTERM) is before
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from pcdms_tpu.train import checkpoint as ckpt
