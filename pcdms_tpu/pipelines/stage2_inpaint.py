@@ -56,7 +56,7 @@ def build_half_mask(batch: int, latent_h: int, latent_w: int, dtype):
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
                      "decode", "unroll", "eta",
-                     "encoder_cache_interval"),
+                     "encoder_cache_interval", "deterministic_vae"),
 )
 def stage2_generate(params, vae_image, st_pose, dino_features,
                     pred_t_embed, rng, latents=None, *,
@@ -71,7 +71,8 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
                     decode: bool = True,
                     unroll: int = 1,
                     eta: float = 0.0,
-                    encoder_cache_interval: int = 1):
+                    encoder_cache_interval: int = 1,
+                    deterministic_vae: bool = False):
     """Generate target-pose images.
 
     params: {"unet", "image_proj", "pose_proj", "vae"} param pytrees.
@@ -121,9 +122,15 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
     pose_cond = pose_cond_embedding_apply(cparams["pose_proj"],
                                           st_pose.astype(compute_dtype))
 
+    # deterministic_vae=True encodes the canvas at the posterior mean
+    # instead of sampling it — with explicit `latents` and eta=0 this
+    # makes the output a pure function of per-request inputs, which the
+    # serving layer needs for batch-composition-invariant results
+    # (serve/stage2.py); default False keeps the reference's .sample()
     masked_latents = vae_encode(cparams["vae"],
                                 vae_image.astype(compute_dtype),
-                                rng=rng_vae, cfg=vae_cfg).astype(jnp.float32)
+                                rng=None if deterministic_vae else rng_vae,
+                                cfg=vae_cfg).astype(jnp.float32)
     mask = build_half_mask(b, lh, lw, jnp.float32)
 
     # --- replicate for num_samples (sample-major) ---

@@ -31,7 +31,7 @@ from pcdms_tpu.utils.tree import cast_pytree
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
                      "decode", "unroll", "eta",
-                     "encoder_cache_interval"),
+                     "encoder_cache_interval", "deterministic_vae"),
 )
 def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     unet_cfg: UNetConfig,
@@ -45,7 +45,8 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
                     decode: bool = True,
                     unroll: int = 1,
                     eta: float = 0.0,
-                    encoder_cache_interval: int = 1):
+                    encoder_cache_interval: int = 1,
+                    deterministic_vae: bool = False):
     """Refine stage-2 outputs.
 
     params: {"unet", "image_proj", "vae"}.
@@ -66,8 +67,12 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
 
     feature_f = image_proj_mlp_apply(cparams["image_proj"],
                                      dino_features.astype(compute_dtype))
+    # posterior mean instead of sample when deterministic_vae — makes the
+    # output a pure function of per-request inputs for the serving layer
+    # (see stage2_inpaint.stage2_generate); default keeps .sample()
     gen_latents = vae_encode(cparams["vae"], gen_image.astype(compute_dtype),
-                             rng=rng_vae, cfg=vae_cfg).astype(jnp.float32)
+                             rng=None if deterministic_vae else rng_vae,
+                             cfg=vae_cfg).astype(jnp.float32)
 
     def tile(x):
         return jnp.concatenate([x] * num_samples, 0)

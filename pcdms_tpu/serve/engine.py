@@ -1,0 +1,302 @@
+"""Dynamic-batching inference engine for TPU serving.
+
+The reference has no serving layer at all — its inference surface is the
+batch-test scripts (one process per GPU, test list chunked up front,
+results to disk; /root/reference/stage1_batchtest_prior_model.py:155-177).
+This module adds the piece a production deployment needs: an online
+request path that converts an arbitrary arrival stream into the large,
+fixed-shape device batches XLA wants.
+
+TPU-first design points:
+
+* **Bucketed static shapes.** Every device call uses a batch size from a
+  small fixed set (``buckets``); short batches are padded by repeating
+  the last request. jit caches one executable per bucket, so steady-state
+  serving never recompiles — the classic XLA serving discipline. Call
+  :meth:`InferenceEngine.warmup` at startup to pre-compile every bucket.
+* **One dispatch thread.** The TPU is a single-tenant device; all device
+  work funnels through one thread, while request collection for batch
+  N+1 overlaps the (asynchronously dispatched) device work for batch N.
+* **Windowed batching, not continuous batching.** Diffusion sampling is
+  a fixed-length program per request (unlike autoregressive decoding);
+  grouping requests into windows of at most ``max_delay_ms`` is the
+  right batching model — there is no per-token scheduling to interleave.
+* **Failure isolation.** An exception inside one device call fails only
+  that batch's futures; the engine keeps serving.
+
+The engine is model-agnostic: requests are dicts of per-request numpy
+arrays, ``batch_fn`` receives the same dict with a leading batch
+dimension stacked on every leaf and returns a pytree of arrays with the
+same leading dimension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("pcdms_tpu.serve")
+
+
+class EngineClosed(RuntimeError):
+    """Raised by submit() after close(), and set on futures that were
+    still queued when a non-draining close tore the engine down."""
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Cumulative serving counters (see :meth:`InferenceEngine.stats`)."""
+    requests: int = 0
+    completed: int = 0
+    failed: int = 0
+    cancelled: int = 0
+    batches: int = 0
+    padded_slots: int = 0
+    total_latency_s: float = 0.0     # submit -> result, summed per request
+    max_latency_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["mean_latency_s"] = (self.total_latency_s / self.completed
+                               if self.completed else 0.0)
+        slots = self.completed + self.failed + self.padded_slots
+        d["batch_occupancy"] = ((self.completed + self.failed) / slots
+                                if slots else 0.0)
+        return d
+
+
+@dataclasses.dataclass
+class _Pending:
+    inputs: Dict[str, np.ndarray]
+    future: Future
+    t_submit: float
+
+
+def _fail_future(fut: Future, exc: Exception):
+    """set_exception tolerant of a racing client-side cancel()."""
+    if fut.set_running_or_notify_cancel():
+        fut.set_exception(exc)
+
+
+class DynamicBatcher:
+    """Bounded request queue + batch-window collection.
+
+    ``collect()`` blocks for the first request, then keeps gathering
+    until ``max_batch`` requests are held or ``max_delay_s`` has elapsed
+    since the first one was dequeued — the standard serving latency/
+    throughput knob.
+    """
+
+    def __init__(self, max_batch: int, max_delay_s: float,
+                 queue_size: int = 256):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.max_batch = max_batch
+        self.max_delay_s = max_delay_s
+        self._q: "queue.Queue[_Pending]" = queue.Queue(queue_size)
+
+    def put(self, item: _Pending, timeout: Optional[float] = None):
+        self._q.put(item, timeout=timeout)
+
+    def pending(self) -> int:
+        return self._q.qsize()
+
+    def collect(self, poll_s: float = 0.05) -> List[_Pending]:
+        """Gather one batch window; [] if nothing arrived within poll_s."""
+        try:
+            first = self._q.get(timeout=poll_s)
+        except queue.Empty:
+            return []
+        out = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(out) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # grab whatever is already queued, but stop waiting
+                try:
+                    out.append(self._q.get_nowait())
+                    continue
+                except queue.Empty:
+                    break
+            try:
+                out.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return out
+
+    def drain(self) -> List[_Pending]:
+        out = []
+        while True:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                return out
+
+
+class InferenceEngine:
+    """Threaded dynamic-batching front end around a batched model call.
+
+    batch_fn(batch: dict[str, np.ndarray]) -> pytree of arrays whose
+    leaves all have the batch size as leading dimension. Results are
+    pulled to host once per batch and sliced per request.
+    """
+
+    def __init__(self, batch_fn: Callable[[Dict[str, np.ndarray]], object],
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 max_delay_ms: float = 5.0,
+                 queue_size: int = 256,
+                 name: str = "engine"):
+        if not buckets:
+            raise ValueError("need at least one batch bucket")
+        self._batch_fn = batch_fn
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if self.buckets[0] < 1:
+            raise ValueError(f"buckets must be >= 1, got {self.buckets}")
+        self.name = name
+        self._batcher = DynamicBatcher(self.buckets[-1],
+                                       max_delay_ms / 1000.0, queue_size)
+        self._stats = EngineStats()
+        self._lock = threading.Lock()
+        self._closing = False
+        self._drain_on_close = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name=f"pcdms-serve-{name}")
+        self._thread.start()
+
+    # ---- client side ----
+
+    def submit(self, inputs: Dict[str, np.ndarray],
+               timeout: Optional[float] = None) -> Future:
+        """Enqueue one request; blocks (backpressure) when the queue is
+        full. Returns a Future resolving to this request's output slice."""
+        if self._closing:
+            raise EngineClosed(f"{self.name} is closed")
+        fut: Future = Future()
+        self._batcher.put(_Pending(dict(inputs), fut, time.monotonic()),
+                          timeout=timeout)
+        with self._lock:
+            self._stats.requests += 1
+        return fut
+
+    def stats(self) -> dict:
+        with self._lock:
+            d = self._stats.as_dict()
+        d["pending"] = self._batcher.pending()
+        return d
+
+    def warmup(self, example_inputs: Dict[str, np.ndarray]):
+        """Run one batch per bucket (repeating ``example_inputs``) so
+        every executable is compiled before traffic arrives."""
+        for b in self.buckets:
+            batch = {k: np.stack([np.asarray(v)] * b)
+                     for k, v in example_inputs.items()}
+            jax.tree.map(np.asarray, self._batch_fn(batch))
+            logger.info("%s: warmed bucket %d", self.name, b)
+
+    def close(self, drain: bool = True, timeout: Optional[float] = None):
+        """Stop accepting requests. drain=True (default) serves what is
+        already queued first; drain=False fails queued requests with
+        EngineClosed."""
+        self._drain_on_close = drain
+        self._closing = True
+        self._thread.join(timeout)
+        # a submit() racing past the _closing check can land after the
+        # dispatch thread's final drain; fail it rather than hang it
+        leftovers = self._batcher.drain()
+        for p in leftovers:
+            _fail_future(p.future, EngineClosed(f"{self.name} closed"))
+        if leftovers:
+            with self._lock:
+                self._stats.failed += len(leftovers)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- dispatch side ----
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _loop(self):
+        while True:
+            if self._closing:
+                if self._drain_on_close:
+                    pending = self._batcher.drain()
+                else:
+                    pending = []
+                    dropped = self._batcher.drain()
+                    for p in dropped:
+                        _fail_future(p.future,
+                                     EngineClosed(f"{self.name} closed"))
+                    if dropped:
+                        with self._lock:
+                            self._stats.failed += len(dropped)
+                while pending:
+                    chunk, pending = (pending[:self.buckets[-1]],
+                                      pending[self.buckets[-1]:])
+                    self._process(chunk)
+                return
+            batch = self._batcher.collect()
+            if batch:
+                self._process(batch)
+
+    def _process(self, pending: List[_Pending]):
+        # claim the futures: marks them running so a client cancel() can
+        # no longer land between here and set_result (which would raise
+        # InvalidStateError in this thread); drops already-cancelled ones
+        claimed = [p for p in pending
+                   if p.future.set_running_or_notify_cancel()]
+        if len(claimed) != len(pending):
+            with self._lock:
+                self._stats.cancelled += len(pending) - len(claimed)
+        pending = claimed
+        if not pending:
+            return
+        n = len(pending)
+        bucket = self._bucket_for(n)
+        keys = pending[0].inputs.keys()
+        try:
+            batch = {
+                k: np.stack([np.asarray(p.inputs[k]) for p in pending]
+                            + [np.asarray(pending[-1].inputs[k])]
+                            * (bucket - n))
+                for k in keys
+            }
+            out = jax.tree.map(np.asarray, self._batch_fn(batch))
+        except Exception as e:  # noqa: BLE001 — isolate to this batch
+            logger.exception("%s: batch of %d failed", self.name, n)
+            for p in pending:
+                p.future.set_exception(e)
+            with self._lock:
+                self._stats.failed += n
+                self._stats.batches += 1
+                self._stats.padded_slots += bucket - n
+            return
+        now = time.monotonic()
+        # resolve futures outside the lock: done-callbacks run inline in
+        # this thread and may themselves call stats()
+        lats = []
+        for i, p in enumerate(pending):
+            p.future.set_result(jax.tree.map(lambda a, i=i: a[i], out))
+            lats.append(now - p.t_submit)
+        with self._lock:
+            self._stats.batches += 1
+            self._stats.padded_slots += bucket - n
+            self._stats.completed += n
+            self._stats.total_latency_s += sum(lats)
+            self._stats.max_latency_s = max([self._stats.max_latency_s]
+                                            + lats)
