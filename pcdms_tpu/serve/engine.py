@@ -14,9 +14,14 @@ TPU-first design points:
   the last request. jit caches one executable per bucket, so steady-state
   serving never recompiles — the classic XLA serving discipline. Call
   :meth:`InferenceEngine.warmup` at startup to pre-compile every bucket.
-* **One dispatch thread.** The TPU is a single-tenant device; all device
-  work funnels through one thread, while request collection for batch
-  N+1 overlaps the (asynchronously dispatched) device work for batch N.
+* **One dispatch thread, pipelined completion.** The TPU is a
+  single-tenant device; all device work funnels through one dispatch
+  thread. jax dispatch is asynchronous, so the dispatch thread hands the
+  in-flight result to a completion thread (which materializes it on host
+  and resolves the futures) and immediately collects + dispatches the
+  next batch — the device runs back-to-back while readback for the
+  previous batch proceeds concurrently. ``max_inflight`` (default 2 =
+  double buffering) bounds how many dispatched batches may hold HBM.
 * **Windowed batching, not continuous batching.** Diffusion sampling is
   a fixed-length program per request (unlike autoregressive decoding);
   grouping requests into windows of at most ``max_delay_ms`` is the
@@ -153,6 +158,7 @@ class InferenceEngine:
                  buckets: Sequence[int] = (1, 2, 4, 8),
                  max_delay_ms: float = 5.0,
                  queue_size: int = 256,
+                 max_inflight: int = 2,
                  name: str = "engine"):
         if not buckets:
             raise ValueError("need at least one batch bucket")
@@ -167,6 +173,12 @@ class InferenceEngine:
         self._lock = threading.Lock()
         self._closing = False
         self._drain_on_close = True
+        # dispatched-but-unresolved batches; bounds HBM held by results
+        self._inflight: "queue.Queue" = queue.Queue(max(1, max_inflight))
+        self._completer = threading.Thread(
+            target=self._completion_loop, daemon=True,
+            name=f"pcdms-serve-{name}-complete")
+        self._completer.start()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name=f"pcdms-serve-{name}")
         self._thread.start()
@@ -204,10 +216,11 @@ class InferenceEngine:
     def close(self, drain: bool = True, timeout: Optional[float] = None):
         """Stop accepting requests. drain=True (default) serves what is
         already queued first; drain=False fails queued requests with
-        EngineClosed."""
+        EngineClosed. Blocks until every dispatched batch has resolved."""
         self._drain_on_close = drain
         self._closing = True
         self._thread.join(timeout)
+        self._completer.join(timeout)
         # a submit() racing past the _closing check can land after the
         # dispatch thread's final drain; fail it rather than hang it
         leftovers = self._batcher.drain()
@@ -248,16 +261,21 @@ class InferenceEngine:
                 while pending:
                     chunk, pending = (pending[:self.buckets[-1]],
                                       pending[self.buckets[-1]:])
-                    self._process(chunk)
+                    self._dispatch(chunk)
+                self._inflight.put(None)     # sentinel: completer exits
                 return
             batch = self._batcher.collect()
             if batch:
-                self._process(batch)
+                self._dispatch(batch)
 
-    def _process(self, pending: List[_Pending]):
+    def _dispatch(self, pending: List[_Pending]):
+        """Stack, pad, and dispatch one batch; the (possibly still
+        device-resident) result goes to the completion thread so this
+        thread can immediately collect and dispatch the next batch."""
         # claim the futures: marks them running so a client cancel() can
         # no longer land between here and set_result (which would raise
-        # InvalidStateError in this thread); drops already-cancelled ones
+        # InvalidStateError in the completion thread); drops
+        # already-cancelled ones
         claimed = [p for p in pending
                    if p.future.set_running_or_notify_cancel()]
         if len(claimed) != len(pending):
@@ -276,27 +294,48 @@ class InferenceEngine:
                             * (bucket - n))
                 for k in keys
             }
-            out = jax.tree.map(np.asarray, self._batch_fn(batch))
+            out = self._batch_fn(batch)   # async jax dispatch
         except Exception as e:  # noqa: BLE001 — isolate to this batch
-            logger.exception("%s: batch of %d failed", self.name, n)
-            for p in pending:
-                p.future.set_exception(e)
+            self._fail_batch(pending, bucket, e)
+            return
+        # blocks when max_inflight batches are already dispatched —
+        # backpressure on HBM held by unresolved results
+        self._inflight.put((pending, out, bucket))
+
+    def _completion_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            pending, out, bucket = item
+            try:
+                host = jax.tree.map(np.asarray, out)
+            except Exception as e:  # noqa: BLE001 — isolate to this batch
+                self._fail_batch(pending, bucket, e)
+                continue
+            n = len(pending)
+            now = time.monotonic()
+            # resolve futures outside the lock: done-callbacks run inline
+            # in this thread and may themselves call stats()
+            lats = []
+            for i, p in enumerate(pending):
+                p.future.set_result(
+                    jax.tree.map(lambda a, i=i: a[i], host))
+                lats.append(now - p.t_submit)
             with self._lock:
-                self._stats.failed += n
                 self._stats.batches += 1
                 self._stats.padded_slots += bucket - n
-            return
-        now = time.monotonic()
-        # resolve futures outside the lock: done-callbacks run inline in
-        # this thread and may themselves call stats()
-        lats = []
-        for i, p in enumerate(pending):
-            p.future.set_result(jax.tree.map(lambda a, i=i: a[i], out))
-            lats.append(now - p.t_submit)
+                self._stats.completed += n
+                self._stats.total_latency_s += sum(lats)
+                self._stats.max_latency_s = max(
+                    [self._stats.max_latency_s] + lats)
+
+    def _fail_batch(self, pending: List[_Pending], bucket: int,
+                    exc: Exception):
+        logger.exception("%s: batch of %d failed", self.name, len(pending))
+        for p in pending:
+            p.future.set_exception(exc)
         with self._lock:
+            self._stats.failed += len(pending)
             self._stats.batches += 1
-            self._stats.padded_slots += bucket - n
-            self._stats.completed += n
-            self._stats.total_latency_s += sum(lats)
-            self._stats.max_latency_s = max([self._stats.max_latency_s]
-                                            + lats)
+            self._stats.padded_slots += bucket - len(pending)

@@ -124,6 +124,42 @@ class TestEngine:
         with pytest.raises(EngineClosed):
             queued.result(1)
 
+    def test_pipelined_dispatch(self):
+        """The dispatch thread must dispatch batch N+1 while batch N's
+        result is still being materialized (device kept busy during
+        readback): batch_fn returns a lazy object whose host
+        materialization blocks, and a second batch_fn call must happen
+        before the first future resolves."""
+        gate = threading.Event()
+        calls = []
+
+        class LazyResult:
+            def __init__(self, arr):
+                self.arr = arr
+
+            def __array__(self, dtype=None, copy=None):
+                gate.wait(30)
+                return self.arr
+
+        def fn(batch):
+            calls.append(batch["x"].shape[0])
+            return LazyResult(batch["x"] + 1)
+
+        eng = InferenceEngine(fn, buckets=(1,), max_delay_ms=1.0,
+                              max_inflight=2)
+        try:
+            f1 = eng.submit({"x": np.zeros(1)})
+            f2 = eng.submit({"x": np.ones(1)})
+            # second dispatch happens while the first result is stuck in
+            # the completion thread
+            assert wait_until(lambda: len(calls) == 2, 10), calls
+            assert not f1.done()
+            gate.set()
+            np.testing.assert_array_equal(f1.result(30), [1.0])
+            np.testing.assert_array_equal(f2.result(30), [2.0])
+        finally:
+            eng.close()
+
     def test_cancelled_future_is_skipped(self):
         """A client cancel() on a queued request must not kill the
         dispatch thread (set_result on a cancelled future raises)."""
