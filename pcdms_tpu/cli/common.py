@@ -53,6 +53,13 @@ def add_common_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--report_to", type=str, default=None)
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state along the data axis")
+    p.add_argument("--use_ema", action="store_true",
+                   help="track an EMA of the trainable params (the "
+                        "reference declares this flag but never "
+                        "implements it; here the shadow is updated "
+                        "every step, checkpointed, and exportable via "
+                        "train.common.ema_params)")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--dcn_slices", type=int, default=1,
                    help="number of TPU slices (pods) the devices span: "
                         ">1 builds a hybrid (dcn, data) mesh so ZeRO-1 "
@@ -91,6 +98,8 @@ def train_config_from_args(args):
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         noise_offset=args.noise_offset,
         zero1=args.zero1,
+        use_ema=args.use_ema,
+        ema_decay=args.ema_decay,
     )
 
 

@@ -39,6 +39,12 @@ class TrainConfig:
     gradient_accumulation_steps: int = 1
     noise_offset: float = 0.1
     zero1: bool = False                           # shard optimizer state
+    # EMA of the trainable params ("--use_ema": declared by the
+    # reference's config, src/configs/stage1_config.py:109, but never
+    # implemented by its trainers — implemented for real here). Decay is
+    # ramped like diffusers' EMAModel: min(ema_decay, (1+t)/(10+t)).
+    use_ema: bool = False
+    ema_decay: float = 0.9999
 
 
 def make_lr_schedule(cfg: TrainConfig):
@@ -72,11 +78,21 @@ def make_optimizer(cfg: TrainConfig):
 
 def init_train_state(params, cfg: TrainConfig):
     tx = make_optimizer(cfg)
-    return {
+    state = {
         "params": params,
         "opt_state": tx.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if cfg.use_ema:
+        # independent copy: the train step donates its state buffers
+        state["ema_params"] = jax.tree.map(jnp.array, params)
+    return state
+
+
+def ema_params(state):
+    """The parameters to export for inference: the EMA shadow if the run
+    tracked one, the raw params otherwise."""
+    return state.get("ema_params", state["params"])
 
 
 def state_shardings(state, cfg: TrainConfig, mesh: Mesh):
@@ -88,7 +104,11 @@ def state_shardings(state, cfg: TrainConfig, mesh: Mesh):
         opt_s = zero1_shardings(state["opt_state"], mesh)
     else:
         opt_s = jax.tree.map(lambda _: repl, state["opt_state"])
-    return {"params": params_s, "opt_state": opt_s, "step": repl}
+    out = {"params": params_s, "opt_state": opt_s, "step": repl}
+    if "ema_params" in state:
+        out["ema_params"] = jax.tree.map(lambda _: repl,
+                                         state["ema_params"])
+    return out
 
 
 def shard_train_state(state, cfg: TrainConfig, mesh: Mesh):
@@ -120,11 +140,19 @@ def make_train_step(loss_fn: Callable, cfg: TrainConfig,
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
-        return {
+        new_state = {
             "params": params,
             "opt_state": opt_state,
             "step": state["step"] + 1,
-        }, metrics
+        }
+        if "ema_params" in state:
+            # diffusers-EMAModel decay ramp; t = completed updates
+            t = state["step"].astype(jnp.float32)
+            d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+            new_state["ema_params"] = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state["ema_params"], params)
+        return new_state, metrics
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))

@@ -231,6 +231,83 @@ class TestShardedStep:
         assert shardings["odd"].spec == jax.sharding.PartitionSpec()
 
 
+class TestEMA:
+    """--use_ema for real: the reference declares the flag
+    (src/configs/stage1_config.py:109) but its trainers never consume
+    it; here the shadow updates every step with the diffusers decay
+    ramp, shards replicated on the mesh, and round-trips checkpoints."""
+
+    def test_ema_matches_hand_computed_blend(self):
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        batch = stage1_batch()
+        cfg = TrainConfig(learning_rate=1e-3, lr_warmup_steps=1,
+                          use_ema=True, ema_decay=0.9)
+
+        # reference run without EMA: same grads, same params trajectory
+        s0 = init_train_state(jax.tree.map(jnp.copy, params),
+                              TrainConfig(learning_rate=1e-3,
+                                          lr_warmup_steps=1))
+        f0 = make_train_step(loss_fn,
+                             TrainConfig(learning_rate=1e-3,
+                                         lr_warmup_steps=1))
+        expected = jax.tree.map(np.asarray, params)   # ema starts at init
+        for t in range(3):
+            rng = jax.random.PRNGKey(100 + t)
+            s0, _ = f0(s0, batch, rng)
+            d = min(0.9, (1 + t) / (10 + t))
+            expected = jax.tree.map(
+                lambda e, p: e * d + np.asarray(p) * (1 - d),
+                expected, s0["params"])
+
+        s1 = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f1 = make_train_step(loss_fn, cfg)
+        for t in range(3):
+            s1, _ = f1(s1, batch, jax.random.PRNGKey(100 + t))
+
+        for a, b in zip(jax.tree.leaves(expected),
+                        jax.tree.leaves(s1["ema_params"])):
+            np.testing.assert_allclose(np.asarray(b), a, rtol=2e-5,
+                                       atol=1e-6)
+        # the raw params are unaffected by EMA tracking
+        for a, b in zip(jax.tree.leaves(s0["params"]),
+                        jax.tree.leaves(s1["params"])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6)
+
+    def test_ema_on_mesh_with_zero1_and_checkpoint(self, tmp_path):
+        from pcdms_tpu.train import checkpoint as ckpt
+        from pcdms_tpu.train.common import ema_params, shard_train_state
+
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        cfg = TrainConfig(lr_warmup_steps=1, zero1=True, use_ema=True)
+        mesh = make_mesh()
+        state = init_train_state(params, cfg)
+        step = make_train_step(loss_fn, cfg, mesh=mesh)
+        state, _ = step(state, shard_batch(stage1_batch(b=8), mesh),
+                        jax.random.PRNGKey(1))
+        # ema shadow is replicated, never ZeRO-sharded
+        for leaf in jax.tree.leaves(state["ema_params"]):
+            assert leaf.sharding.spec == jax.sharding.PartitionSpec()
+
+        ckpt.save_checkpoint(str(tmp_path), 1, state)
+        template = init_train_state(
+            prior_init(jax.random.PRNGKey(9), PRIOR_CFG), cfg)
+        restored, _, rstep = ckpt.restore_checkpoint(str(tmp_path),
+                                                     template)
+        assert rstep == 1
+        for a, b in zip(jax.tree.leaves(state["ema_params"]),
+                        jax.tree.leaves(restored["ema_params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored state steps again on the mesh (resume path)
+        restored = shard_train_state(restored, cfg, mesh)
+        restored, m = step(restored, shard_batch(stage1_batch(b=8), mesh),
+                           jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
+        assert ema_params(restored) is restored["ema_params"]
+
+
 class TestPreemption:
     def test_sigterm_checkpoints_and_stops(self, tmp_path):
         """SIGTERM mid-run stops at the next step boundary, writes a final
