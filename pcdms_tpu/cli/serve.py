@@ -161,6 +161,9 @@ def build_service(args):
 
 
 def main(argv=None):
+    import signal
+    import threading
+
     setup_logging()
     args = parse_args(argv)
     if args.model == "cascade" and args.simple_variant:
@@ -171,12 +174,22 @@ def main(argv=None):
     logger.info("model=%s %dx%d steps=%d buckets=%s delay=%.1fms",
                 args.model, args.img_height, args.img_width,
                 args.num_inference_steps, args.buckets, args.max_delay_ms)
-    try:
-        server.start()
-        server._thread.join()
-    except KeyboardInterrupt:
-        logger.info("shutting down")
-        server.stop()
+
+    # graceful shutdown: TPU preemption notices arrive as SIGTERM (same
+    # contract as train/loop.py) — stop accepting, drain in-flight work
+    done = threading.Event()
+
+    def _on_signal(signum, frame):
+        logger.info("signal %d: draining and shutting down", signum)
+        done.set()
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _on_signal)
+
+    server.start()
+    done.wait()
+    server.stop()
+    logger.info("served %s", service.stats())
 
 
 if __name__ == "__main__":
