@@ -37,12 +37,14 @@ def _npz_bytes(tree: dict) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(service, request_timeout_s: float = 600.0):
+def make_handler(service, request_timeout_s: float = 600.0,
+                 max_body_bytes: int = 512 * 1024 * 1024):
     """Build a request-handler class bound to ``service``.
 
     ``service`` must expose ``submit(**inputs) -> Future`` and
     ``stats() -> dict``. Future results may be a single array (returned
-    as npz key ``"image"``) or a dict of arrays.
+    as npz key ``"image"``) or a dict of arrays. Bodies larger than
+    ``max_body_bytes`` are rejected with 413 before being read.
     """
 
     class Handler(BaseHTTPRequestHandler):
@@ -76,6 +78,11 @@ def make_handler(service, request_timeout_s: float = 600.0):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_body_bytes:
+                    self._reply_json(413, {"error": f"body {length} bytes "
+                                           f"exceeds {max_body_bytes} "
+                                           "limit"})
+                    return
                 with np.load(io.BytesIO(self.rfile.read(length))) as z:
                     inputs = {k: z[k] for k in z.files}
                 # scalars (e.g. seed) arrive as 0-d arrays
@@ -99,10 +106,12 @@ class ServingServer:
     """ThreadingHTTPServer wrapper with background start/stop."""
 
     def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 max_body_bytes: int = 512 * 1024 * 1024):
         self.service = service
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(service, request_timeout_s))
+            (host, port), make_handler(service, request_timeout_s,
+                                       max_body_bytes))
         self.port = self.httpd.server_address[1]   # resolved when port=0
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True,

@@ -33,6 +33,9 @@ STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", "8"))
 # 512px batch-8 needs rematerialization on a single 16G chip (AdamW
 # state + params are ~10.4G; ZeRO-1 shards that on a real slice)
 REMAT = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+# BENCH_TRAIN_EMA=1 measures the --use_ema step cost (one HBM-bound
+# param-tree blend per step)
+EMA = os.environ.get("BENCH_TRAIN_EMA", "0") == "1"
 
 
 def main():
@@ -51,7 +54,8 @@ def main():
     }
     vae = vae_init(ks[3])
 
-    tcfg = TrainConfig(learning_rate=1e-4, lr_warmup_steps=1)
+    tcfg = TrainConfig(learning_rate=1e-4, lr_warmup_steps=1,
+                       use_ema=EMA)
     loss_fn = stage2_loss_fn(unet_cfg, vae)
     state = init_train_state(params, tcfg)
     step = make_train_step(loss_fn, tcfg)

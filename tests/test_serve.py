@@ -407,3 +407,10 @@ class TestHTTP:
                                                            np.float32)})
             ok = post_npz("127.0.0.1", port, reqs[0])
             assert ok["image"].shape == (H, 2 * W, 3)
+
+    def test_body_size_limit(self, s2_params):
+        from pcdms_tpu.serve.http import ServingServer, post_npz
+        svc = make_service(s2_params)
+        with ServingServer(svc, port=0, max_body_bytes=1024) as server:
+            with pytest.raises(RuntimeError, match="HTTP 413"):
+                post_npz("127.0.0.1", server.port, request_inputs(0))
