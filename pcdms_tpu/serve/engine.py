@@ -196,6 +196,22 @@ class InferenceEngine:
                           timeout=timeout)
         with self._lock:
             self._stats.requests += 1
+        # re-check AFTER the put: a close() racing with this submit may
+        # already have done its final drain, leaving this request
+        # stranded in a queue no thread reads. The dispatch thread only
+        # exits via the _closing branch (which drains first) and close()
+        # drains again after the join, so once it is dead any residue
+        # here is permanently stranded — fail it (this and any other
+        # late request) rather than hang the caller.
+        if self._closing and not self._thread.is_alive():
+            stranded = self._batcher.drain()
+            for p in stranded:
+                _fail_future(p.future, EngineClosed(f"{self.name} closed"))
+            if stranded:
+                with self._lock:
+                    self._stats.failed += len(stranded)
+            if fut.done():   # ours was among the stranded/drained
+                raise EngineClosed(f"{self.name} is closed")
         return fut
 
     def stats(self) -> dict:

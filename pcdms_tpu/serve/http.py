@@ -74,11 +74,15 @@ def make_handler(service, request_timeout_s: float = 600.0,
 
         def do_POST(self):
             if self.path != "/v1/generate":
+                # body not read: the connection must close, or the
+                # keep-alive parser would read the body as a request line
+                self.close_connection = True
                 self._reply_json(404, {"error": f"no route {self.path}"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length > max_body_bytes:
+                    self.close_connection = True
                     self._reply_json(413, {"error": f"body {length} bytes "
                                            f"exceeds {max_body_bytes} "
                                            "limit"})

@@ -146,12 +146,23 @@ def make_train_step(loss_fn: Callable, cfg: TrainConfig,
             "step": state["step"] + 1,
         }
         if "ema_params" in state:
+            # Blend only on real optimizer updates: with gradient
+            # accumulation (optax.MultiSteps) step_fn runs per
+            # micro-batch and params change only on every K-th call —
+            # blending each micro-step would compound the decay K times
+            # per update and count the ramp in micro-steps.
+            k = cfg.gradient_accumulation_steps
             # diffusers-EMAModel decay ramp; t = completed updates
-            t = state["step"].astype(jnp.float32)
+            t = (state["step"] // k).astype(jnp.float32)
             d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
-            new_state["ema_params"] = jax.tree.map(
-                lambda e, p: e * d + p * (1.0 - d),
-                state["ema_params"], params)
+            is_update = (state["step"] + 1) % k == 0
+
+            def blend(ema):
+                return jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                                    ema, params)
+
+            new_state["ema_params"] = jax.lax.cond(
+                is_update, blend, lambda ema: ema, state["ema_params"])
         return new_state, metrics
 
     if mesh is None:

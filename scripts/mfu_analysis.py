@@ -110,22 +110,20 @@ def attention_matmul_flops(cfg: UNetConfig, batch: int, h: int, w: int,
     decomposition in PERF.md: self-attention 4*L^2*ch, cross-attention
     4*L*ctx*ch (uncond half of cross is skipped analytically at CFG,
     halving it; we count it fully — a conservative overestimate)."""
-    total = 0.0
     levels = []
     hh, ww = h, w
     for i, ch in enumerate(cfg.block_out_channels):
-        has_attn = cfg.cross_attn_down[i]
         # t2d count per level: layers_per_block in the down path +
-        # (layers_per_block + 1) in the up path, +1 mid at the deepest
-        # attention level (mirrors the PERF.md table: 5 / 5 / 6)
-        count = (2 * cfg.layers_per_block + 1) if has_attn else 0
-        if has_attn and i == max(j for j, a in
-                                 enumerate(cfg.cross_attn_down) if a):
-            count += 1
-        if count:
-            levels.append((hh * ww, ch, count))
+        # (layers_per_block + 1) in the up path
+        if cfg.cross_attn_down[i]:
+            levels.append((hh * ww, ch, 2 * cfg.layers_per_block + 1))
         if i < len(cfg.block_out_channels) - 1:
             hh, ww = hh // 2, ww // 2
+    # the mid block's single t2d runs at the bottleneck resolution
+    # (after ALL downsamples — unet2d.unet_encode), not at the deepest
+    # attention level's resolution
+    levels.append((hh * ww, cfg.block_out_channels[-1], 1))
+    total = 0.0
     for tokens, ch, count in levels:
         self_f = 4.0 * tokens * tokens * ch
         cross_f = 4.0 * tokens * ctx_tokens * ch
@@ -163,11 +161,16 @@ def main():
           f"{enc/1e12:.3f} / {dec/1e12:.3f} TFLOP")
     print(f"per generated image ({steps}-step CFG): {f_img/1e12:.3f} TFLOP")
 
-    for label, rate in [("50-step DDIM (headline)", 0.541),
-                        ("50-step DDIM enc-prop/2 (approx)", 0.652),
-                        ("20-step UniPC (reference protocol)", 1.254)]:
-        eff = 50 / 20 if "20-step" in label else 1.0
-        fi = f_img / eff
+    # per-image FLOPs at k steps: the VAE encode/decode is one-off per
+    # image, only the UNet calls scale with the step count
+    def f_img_at(k):
+        return (k * f_unet + enc + dec) / batch
+
+    for label, rate, k in [("50-step DDIM (headline)", 0.541, 50),
+                           ("50-step DDIM enc-prop/2 (approx)", 0.652, 50),
+                           ("20-step UniPC (reference protocol)",
+                            1.254, 20)]:
+        fi = f_img_at(k)
         mfu = rate * fi / (V5E_PEAK_TFLOPS * 1e12) * 100
         # enc-prop skips encoder work, so its number is EFFECTIVE TF/s
         # (exact-model FLOPs / wall-clock), not hardware utilization

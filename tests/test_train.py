@@ -275,6 +275,45 @@ class TestEMA:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-6)
 
+    def test_ema_blends_once_per_update_under_accumulation(self):
+        """With optax.MultiSteps (gradient_accumulation_steps=K) the
+        step runs per micro-batch; the EMA must blend only on the K-th
+        micro-step (the real optimizer update) and count its decay ramp
+        in updates, not micro-steps."""
+        K = 2
+        loss_fn = stage1_loss_fn(PRIOR_CFG, noise_offset=0.0)
+        params = prior_init(jax.random.PRNGKey(0), PRIOR_CFG)
+        batch = stage1_batch()
+        base = dict(learning_rate=1e-3, lr_warmup_steps=1,
+                    gradient_accumulation_steps=K)
+
+        s0 = init_train_state(jax.tree.map(jnp.copy, params),
+                              TrainConfig(**base))
+        f0 = make_train_step(loss_fn, TrainConfig(**base))
+        cfg = TrainConfig(**base, use_ema=True, ema_decay=0.5)
+        s1 = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+        f1 = make_train_step(loss_fn, cfg)
+
+        expected = jax.tree.map(np.asarray, params)
+        updates_done = 0
+        for i in range(2 * K + 1):           # 5 micro-steps, 2 updates
+            rng = jax.random.PRNGKey(200 + i)
+            s0, _ = f0(s0, batch, rng)
+            s1, _ = f1(s1, batch, rng)
+            if (i + 1) % K == 0:
+                d = min(0.5, (1 + updates_done) / (10 + updates_done))
+                expected = jax.tree.map(
+                    lambda e, p: e * d + np.asarray(p) * (1 - d),
+                    expected, s0["params"])
+                updates_done += 1
+
+        # 5th micro-step is not an update: ema reflects exactly the two
+        # update-boundary blends
+        for a, b in zip(jax.tree.leaves(expected),
+                        jax.tree.leaves(s1["ema_params"])):
+            np.testing.assert_allclose(np.asarray(b), a, rtol=2e-5,
+                                       atol=1e-6)
+
     def test_ema_on_mesh_with_zero1_and_checkpoint(self, tmp_path):
         from pcdms_tpu.train import checkpoint as ckpt
         from pcdms_tpu.train.common import ema_params, shard_train_state
