@@ -140,6 +140,11 @@ def prefetch_to_device(batches, mesh, depth: int = 2,
     it = iter(batches)
     exhausted = False
     while True:
+        # fill to depth+1 so that AFTER the yield the consumer holds one
+        # batch and `depth` sharded batches sit ahead of it (the
+        # documented lookahead); peak device residency is depth+2
+        # full-size batches (consumed + window) — size device_prefetch
+        # accordingly on memory-tight chips
         while not exhausted and len(window) <= depth:
             try:
                 window.append(shard_batch(next(it), mesh,

@@ -50,11 +50,16 @@ def make_hybrid_mesh(num_slices: int,
         raise ValueError(
             f"{n} devices do not divide into {num_slices} slices")
     per_slice = n // num_slices
-    try:
+    # the row-major fallback is ONLY for device sets without slice
+    # metadata (CPU meshes in tests, the driver's virtual mesh); on real
+    # slices a mis-specified --dcn_slices must fail loudly — a silently
+    # wrong grid would put the 'data' (ICI) axis across DCN and every
+    # ZeRO-1 collective onto the slow network
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
         from jax.experimental import mesh_utils
         grid = mesh_utils.create_hybrid_device_mesh(
             (1, per_slice), (num_slices, 1), devices=devices)
-    except Exception:  # no slice_index metadata (CPU / virtual devices)
+    else:
         grid = np.asarray(devices).reshape(num_slices, per_slice)
     return Mesh(grid, (dcn_axis, ici_axis))
 

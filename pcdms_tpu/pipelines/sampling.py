@@ -109,3 +109,69 @@ def unipc_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
 
 
 SAMPLERS = {"ddim": ddim_sample_loop, "unipc": unipc_sample_loop}
+
+
+def encoder_prop_model_eps(params, cfg, make_inp, feature_f, *,
+                           interval: int, latent_shape,
+                           zero_ctx_prefix: int = 0,
+                           use_cfg: bool = False,
+                           guidance_scale: float = 0.0,
+                           guidance_rescale: float = 0.0,
+                           compute_dtype=jnp.float32,
+                           class_labels=None, pose_cond=None,
+                           timestep_cond=None):
+    """Build the carried model for encoder-propagation sampling
+    (arXiv 2312.09608): the UNet down-path + mid block run only on key
+    steps (every ``interval``-th, always step 0) and their features are
+    carried through the scan; non-key steps run the decoder only with a
+    fresh time embedding. Shared by the stage-2 and stage-3 pipelines —
+    the subtle scan-carry logic must not diverge between them.
+
+    ``make_inp(x, t) -> (unet_input, per-sample timesteps)`` is the
+    pipeline-specific channel concat (9ch inpaint / 8ch refine + CFG
+    doubling). Returns ``(model_eps(x, t, carry) -> (eps, carry),
+    carry0)`` for the ``model_carry`` hook of the loops above.
+    """
+    from pcdms_tpu.diffusion.guidance import apply_cfg
+    from pcdms_tpu.models.unet2d import (
+        unet_decode, unet_encode, unet_time_embedding,
+    )
+
+    def embed(tt):
+        return unet_time_embedding(params, cfg, tt,
+                                   class_labels=class_labels,
+                                   timestep_cond=timestep_cond,
+                                   dtype=compute_dtype)
+
+    def encode_at(x, t):
+        inp, tt = make_inp(x, t)
+        return unet_encode(params, cfg, inp, embed(tt), feature_f,
+                           pose_cond=pose_cond,
+                           zero_ctx_prefix=zero_ctx_prefix)
+
+    def model_eps(x, t, mcarry):
+        step_i, cache = mcarry
+        inp, tt = make_inp(x, t)
+        emb = embed(tt)
+        is_key = (step_i % interval) == 0
+        cache = jax.lax.cond(
+            is_key,
+            lambda c: unet_encode(params, cfg, inp, emb, feature_f,
+                                  pose_cond=pose_cond,
+                                  zero_ctx_prefix=zero_ctx_prefix),
+            lambda c: c,
+            cache)
+        h, skips = cache
+        eps = unet_decode(params, cfg, h, skips, emb, feature_f,
+                          zero_ctx_prefix=zero_ctx_prefix)
+        eps = eps.astype(jnp.float32)
+        if use_cfg:
+            eps = apply_cfg(eps, guidance_scale, guidance_rescale)
+        return eps, (step_i + 1, cache)
+
+    cache_shape = jax.eval_shape(
+        encode_at, jax.ShapeDtypeStruct(tuple(latent_shape), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32))
+    cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                          cache_shape)
+    return model_eps, (jnp.zeros((), jnp.int32), cache0)

@@ -18,7 +18,7 @@ from pcdms_tpu.diffusion.guidance import apply_cfg
 from pcdms_tpu.diffusion.schedules import sd21_schedule
 from pcdms_tpu.models.projections import image_proj_mlp_apply
 from pcdms_tpu.models.unet2d import (
-    UNetConfig, unet_apply, unet_decode, unet_encode, unet_time_embedding,
+    UNetConfig, unet_apply,
 )
 from pcdms_tpu.models.vae import VAEConfig, vae_decode, vae_encode
 from pcdms_tpu.pipelines.sampling import SAMPLERS
@@ -108,39 +108,14 @@ def stage3_generate(params, gen_image, dino_features, rng, latents=None, *,
 
     model_carry = None
     if encoder_cache_interval > 1:
-        def encode_at(x, t):
-            inp, tt = make_inp(x, t)
-            emb = unet_time_embedding(cparams["unet"], unet_cfg, tt,
-                                      dtype=compute_dtype)
-            return unet_encode(cparams["unet"], unet_cfg, inp, emb,
-                               feature_f, zero_ctx_prefix=zp)
-
-        def model_eps(x, t, mcarry):               # noqa: F811
-            step_i, cache = mcarry
-            inp, tt = make_inp(x, t)
-            emb = unet_time_embedding(cparams["unet"], unet_cfg, tt,
-                                      dtype=compute_dtype)
-            is_key = (step_i % encoder_cache_interval) == 0
-            cache = jax.lax.cond(
-                is_key,
-                lambda c: unet_encode(cparams["unet"], unet_cfg, inp, emb,
-                                      feature_f, zero_ctx_prefix=zp),
-                lambda c: c,
-                cache)
-            h, skips = cache
-            eps = unet_decode(cparams["unet"], unet_cfg, h, skips, emb,
-                              feature_f, zero_ctx_prefix=zp)
-            eps = eps.astype(jnp.float32)
-            if use_cfg:
-                eps = apply_cfg(eps, guidance_scale, guidance_rescale)
-            return eps, (step_i + 1, cache)
-
-        cache_shape = jax.eval_shape(
-            encode_at, jax.ShapeDtypeStruct((n, lh, lw, 4), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.int32))
-        cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                              cache_shape)
-        model_carry = (jnp.zeros((), jnp.int32), cache0)
+        from pcdms_tpu.pipelines.sampling import encoder_prop_model_eps
+        model_eps, model_carry = encoder_prop_model_eps(   # noqa: F811
+            cparams["unet"], unet_cfg, make_inp, feature_f,
+            interval=encoder_cache_interval, latent_shape=(n, lh, lw, 4),
+            zero_ctx_prefix=zp, use_cfg=use_cfg,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            compute_dtype=compute_dtype)
 
     if latents is not None:
         x_init = latents.astype(jnp.float32)

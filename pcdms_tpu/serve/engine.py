@@ -237,6 +237,13 @@ class InferenceEngine:
         self._closing = True
         self._thread.join(timeout)
         self._completer.join(timeout)
+        if self._thread.is_alive():
+            # join timed out with the dispatch thread still draining;
+            # don't steal its queue — it keeps serving in the background
+            # and honors the drain contract when it finishes
+            logger.warning("%s: close(timeout=%s) returned before the "
+                           "drain finished", self.name, timeout)
+            return
         # a submit() racing past the _closing check can land after the
         # dispatch thread's final drain; fail it rather than hang it
         leftovers = self._batcher.drain()

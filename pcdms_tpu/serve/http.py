@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -92,11 +93,32 @@ def make_handler(service, request_timeout_s: float = 600.0,
                 # scalars (e.g. seed) arrive as 0-d arrays
                 kwargs = {k: (v.item() if v.ndim == 0 else v)
                           for k, v in inputs.items()}
-                result = service.submit(**kwargs).result(request_timeout_s)
+            except Exception as e:  # noqa: BLE001 — malformed body
+                # the body may be unread or partially read (missing
+                # Content-Length, chunked transfer, truncated npz) —
+                # the keep-alive connection is unusable, close it
+                self.close_connection = True
+                self._reply_json(400, {"error": f"bad request body: {e}"})
+                return
+            try:
+                # submit() raises ValueError/TypeError only for invalid
+                # request inputs — a genuine 400 (body was fully read,
+                # keep-alive stays usable). The bounded enqueue timeout
+                # turns sustained overload into 503s instead of an
+                # unbounded pile-up of blocked handler threads.
+                fut = service.submit(timeout=60.0, **kwargs)
             except (ValueError, TypeError) as e:
                 self._reply_json(400, {"error": str(e)})
                 return
+            except queue.Full:
+                self._reply_json(503, {"error": "request queue full — "
+                                       "retry later"})
+                return
+            try:
+                result = fut.result(request_timeout_s)
             except Exception as e:  # noqa: BLE001 — surface, don't crash
+                # failures inside the model batch are server errors even
+                # when they carry ValueError types
                 logger.exception("request failed")
                 self._reply_json(500, {"error": str(e)})
                 return

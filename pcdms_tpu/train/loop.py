@@ -142,21 +142,27 @@ def run_training(loss_fn: Callable, params, batches: Iterator,
                 ckpt.save_checkpoint(output_dir, step, state)
                 last_saved = step
                 logger.info("checkpoint saved at step %d", step)
+        if trace_open:
+            # short runs can end before the stop marker at start_step +
+            # 6; flush so --profile_dir always yields a usable profile
+            jax.profiler.stop_trace()
+            trace_open = False
+        if output_dir and step != last_saved:
+            # skip when the in-loop cadence (or a resumed,
+            # already-finished run) saved this exact step — orbax raises
+            # StepAlreadyExistsError on duplicates; this final save also
+            # covers the preemption path (every completed step persists).
+            # It runs with the signal handlers still installed: a second
+            # SIGTERM/SIGINT during this (potentially minutes-long) save
+            # must not kill the process and lose the interrupted step.
+            ckpt.save_checkpoint(output_dir, step, state)
+            last_saved = step
     finally:
         if prev_handlers:
             for s, h in prev_handlers.items():
                 signal.signal(s, h)
-    if trace_open:
-        # short runs can end before the stop marker at start_step + 6;
-        # flush the trace so --profile_dir always yields a usable profile
-        jax.profiler.stop_trace()
-    if output_dir and step != last_saved:
-        # skip when the in-loop cadence (or a resumed, already-finished
-        # run) saved this exact step — orbax raises
-        # StepAlreadyExistsError on duplicates; this final save also
-        # covers the preemption path (every completed step persists)
-        ckpt.save_checkpoint(output_dir, step, state)
-        last_saved = step
+        if trace_open:
+            jax.profiler.stop_trace()
     if stop["signal"] is not None:
         logger.warning("stopped by signal %d at step %d (checkpoint %s)",
                        stop["signal"], step,
