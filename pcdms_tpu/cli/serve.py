@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--encoder_cache_interval", type=int, default=1)
     p.add_argument("--simple_variant", action="store_true")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over all local devices (pure "
+                        "DP serving; buckets must be multiples of the "
+                        "device count)")
     p.add_argument("--max_delay_ms", type=float, default=5.0)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
@@ -117,6 +121,10 @@ def build_service(args):
         s2_params["vae"] = load_sd_vae(args.pretrained_model_name_or_path)
         vae = s2_params["vae"]
 
+    mesh = None
+    if args.data_parallel:
+        from pcdms_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     common = dict(height=args.img_height, width=args.img_width,
                   guidance_scale=args.guidance_scale,
                   scheduler=args.scheduler,
@@ -125,7 +133,7 @@ def build_service(args):
                   embed_dim=embed_dim,
                   buckets=tuple(args.buckets),
                   max_delay_ms=args.max_delay_ms,
-                  warmup=not args.no_warmup, **dino_kw)
+                  warmup=not args.no_warmup, mesh=mesh, **dino_kw)
     if vae_cfg is not None:
         common["vae_cfg"] = vae_cfg
 

@@ -75,6 +75,7 @@ class Stage2Service:
                  buckets: Sequence[int] = (1, 2, 4, 8),
                  max_delay_ms: float = 5.0,
                  queue_size: int = 256,
+                 mesh=None,
                  warmup: bool = False):
         self.height, self.width = height, width
         self.lh, self.lw = height // 8, (2 * width) // 8
@@ -82,8 +83,21 @@ class Stage2Service:
         self._dino_shape = (dino_tokens, dino_dim)
         self._embed_dim = embed_dim
         self._params = params
+        if mesh is not None:
+            # multi-chip serving: each device batch is sharded over the
+            # mesh's batch axis (pure DP — same recipe as the batchtest
+            # CLIs, tests/test_sharded_inference.py); every bucket must
+            # fill the mesh evenly
+            bad = [b for b in buckets if b % mesh.devices.size]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh's "
+                    f"{mesh.devices.size} devices")
 
         def batch_fn(batch):
+            if mesh is not None:
+                from pcdms_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch, mesh)
             embed = None if simple_variant else batch["embed"][:, None, :]
             return stage2_generate(
                 self._params, batch["vae_image"], batch["st_pose"],
@@ -176,12 +190,22 @@ class CascadeService:
                  buckets: Sequence[int] = (1, 2, 4, 8),
                  max_delay_ms: float = 5.0,
                  queue_size: int = 256,
+                 mesh=None,
                  warmup: bool = False):
         self.height, self.width = height, width
         self._dino_shape = (dino_tokens, dino_dim)
         self._embed_dim = embed_dim
+        if mesh is not None:
+            bad = [b for b in buckets if b % mesh.devices.size]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh's "
+                    f"{mesh.devices.size} devices")
 
         def batch_fn(batch):
+            if mesh is not None:
+                from pcdms_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch, mesh)
             out = cascade_generate(
                 stage1_params, stage2_params, stage3_params,
                 batch["s_embed"], batch["s_pose"], batch["t_pose"],

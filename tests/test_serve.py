@@ -317,6 +317,31 @@ class TestStage2Service:
         finally:
             svc.close()
 
+    def test_mesh_sharded_serving_matches_unsharded(self, s2_params):
+        """mesh= shards each device batch over the 8-device mesh (pure
+        DP serving); results are identical to the unsharded service —
+        and the bucket size must fill the mesh."""
+        from pcdms_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        with pytest.raises(ValueError, match="not divisible"):
+            make_service(s2_params, mesh=mesh, buckets=(3,))
+
+        reqs = [request_inputs(i, seed=i) for i in range(3)]
+        svc = make_service(s2_params, mesh=mesh, buckets=(8,),
+                           max_delay_ms=200.0)
+        try:
+            futs = [svc.submit(**r) for r in reqs]
+            sharded = [f.result(300) for f in futs]
+        finally:
+            svc.close()
+        svc = make_service(s2_params)
+        try:
+            plain = [svc.submit(**r).result(300) for r in reqs]
+        finally:
+            svc.close()
+        for a, b in zip(sharded, plain):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
     def test_input_validation(self, s2_params):
         svc = make_service(s2_params)
         try:
