@@ -156,10 +156,21 @@ def main():
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
+    # BENCH_LCM=1: the 4-step latent-consistency student path
+    # (time_cond_proj_dim set -> lcm_mode: no CFG doubling, w embedded;
+    # random weights — mechanical throughput of the few-step sampler the
+    # LCM distillation trainer produces checkpoints for)
+    lcm = os.environ.get("BENCH_LCM", "0") == "1"
+    if lcm:
+        steps = int(os.environ.get("BENCH_STEPS", "4"))
+        sched = "ddim"
+
     unet_cfg = stage2_unet_config()
-    if fused_conv:
+    if fused_conv or lcm:
         import dataclasses
-        unet_cfg = dataclasses.replace(unet_cfg, fused_conv=True)
+        unet_cfg = dataclasses.replace(
+            unet_cfg, fused_conv=fused_conv,
+            time_cond_proj_dim=256 if lcm else None)
     params = {
         "unet": unet_init(k1, unet_cfg),
         "image_proj": image_proj_mlp_init(k2),
@@ -211,6 +222,8 @@ def main():
     # ("A100 throughput baseline used by bench.py")
     baseline_a100 = 0.25
     tag = f" enc-prop/{enc_prop}" if enc_prop > 1 else ""
+    if lcm:
+        tag += " LCM (w-conditioned, no CFG doubling)"
     print(json.dumps({
         "metric": f"stage2 {height}px {steps}-step "
                   f"{sched.upper()} sampling{tag}",
