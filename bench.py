@@ -163,7 +163,7 @@ def main():
     lcm = os.environ.get("BENCH_LCM", "0") == "1"
     if lcm:
         steps = int(os.environ.get("BENCH_STEPS", "4"))
-        sched = "ddim"
+        sched = "lcm"     # boundary-grid consistency sampler
 
     unet_cfg = stage2_unet_config()
     if fused_conv or lcm:

@@ -20,8 +20,11 @@ f32 — a single 16G chip needs --zero1 on a slice (or bf16 teacher);
 --tiny_config drives the full code path on CPU.
 
 After training, sample with ``UNetConfig.time_cond_proj_dim=256`` and
-``stage2_generate(..., num_steps=4, guidance_scale=2.0)`` — lcm_mode
-disables CFG doubling and embeds w (pipelines/stage2_inpaint.py).
+``stage2_generate(..., scheduler="lcm", num_steps=4,
+guidance_scale=2.0)`` — the lcm scheduler samples on the trained
+boundary grid with the trained consistency parameterization, and
+lcm_mode disables CFG doubling and embeds w
+(pipelines/stage2_inpaint.py, pipelines/sampling.py).
 """
 
 from __future__ import annotations

@@ -175,3 +175,57 @@ def encoder_prop_model_eps(params, cfg, make_inp, feature_f, *,
     cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                           cache_shape)
     return model_eps, (jnp.zeros((), jnp.int32), cache0)
+
+
+def lcm_inference_timesteps(num_train_timesteps: int, num_steps: int,
+                            origin_steps: int = 50) -> np.ndarray:
+    """LCM inference timesteps: picked from the TRAINED skipped-DDIM
+    boundary grid (train/lcm_distill.skipped_timesteps), descending from
+    the top — the diffusers LCMScheduler selection. Sampling off this
+    grid would query w-conditioning at timesteps the distillation never
+    optimized."""
+    if not 1 <= origin_steps <= num_train_timesteps \
+            or num_train_timesteps % origin_steps:
+        raise ValueError(f"origin_steps {origin_steps} must divide "
+                         f"{num_train_timesteps}")
+    k = num_train_timesteps // origin_steps
+    ddim_ts = np.arange(1, origin_steps + 1) * k - 1
+    skip = max(len(ddim_ts) // num_steps, 1)
+    ts = ddim_ts[::-1][::skip][:num_steps]
+    return ts.astype(np.int32)
+
+
+def lcm_sample_loop(schedule: NoiseSchedule, model_eps_fn: Callable,
+                    x_init, num_steps: int, rng, *,
+                    origin_steps: int = 50,
+                    sigma_data: float = 0.5,
+                    timestep_scaling: float = 10.0):
+    """Latent-consistency sampling (arXiv 2310.04378 / LCMScheduler):
+    at each boundary timestep the student's eps output is wrapped with
+    the SAME c_skip/c_out consistency parameterization it was distilled
+    under (train/lcm_distill.lcm_boundary_scalings), and the denoised
+    estimate is re-noised to the next boundary with fresh noise (none
+    after the final step). num_steps is small (4-8); the loop unrolls
+    inside the enclosing jit."""
+    from pcdms_tpu.train.lcm_distill import lcm_boundary_scalings
+
+    ts = lcm_inference_timesteps(schedule.num_train_timesteps, num_steps,
+                                 origin_steps)
+    a = jnp.asarray(schedule.sqrt_alphas_cumprod)
+    s = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod)
+    x = x_init
+    for i, t in enumerate(ts):
+        t_arr = jnp.asarray(t, jnp.int32)
+        eps = model_eps_fn(x, t_arr)
+        x0 = (x - s[t] * eps) / a[t]
+        c_skip, c_out = lcm_boundary_scalings(
+            jnp.asarray(float(t)), sigma_data, timestep_scaling)
+        denoised = c_skip * x + c_out * x0
+        if i < len(ts) - 1:
+            t_next = int(ts[i + 1])
+            noise = jax.random.normal(jax.random.fold_in(rng, i),
+                                      x.shape, jnp.float32)
+            x = a[t_next] * denoised + s[t_next] * noise
+        else:
+            x = denoised
+    return x

@@ -56,7 +56,8 @@ def build_half_mask(batch: int, latent_h: int, latent_w: int, dtype):
                      "guidance_scale", "guidance_rescale",
                      "scheduler", "num_samples", "compute_dtype",
                      "decode", "unroll", "eta",
-                     "encoder_cache_interval", "deterministic_vae"),
+                     "encoder_cache_interval", "deterministic_vae",
+                     "lcm_origin_steps"),
 )
 def stage2_generate(params, vae_image, st_pose, dino_features,
                     pred_t_embed, rng, latents=None, *,
@@ -72,7 +73,8 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
                     unroll: int = 1,
                     eta: float = 0.0,
                     encoder_cache_interval: int = 1,
-                    deterministic_vae: bool = False):
+                    deterministic_vae: bool = False,
+                    lcm_origin_steps: int = 50):
     """Generate target-pose images.
 
     params: {"unet", "image_proj", "pose_proj", "vae"} param pytrees.
@@ -204,7 +206,22 @@ def stage2_generate(params, vae_image, st_pose, dino_features,
         x_init = latents.astype(jnp.float32)
     else:
         x_init = jax.random.normal(rng_latents, (n, lh, lw, 4), jnp.float32)
-    if scheduler == "ddim" and eta > 0.0:
+    if scheduler == "lcm":
+        # latent-consistency sampling on the TRAINED skipped-boundary
+        # grid with the trained c_skip/c_out parameterization —
+        # DDIM/UniPC timesteps would query the w-conditioning off the
+        # distillation grid (train/lcm_distill.py)
+        if not lcm_mode:
+            raise ValueError("scheduler='lcm' needs a w-conditioned "
+                             "student (UNetConfig.time_cond_proj_dim)")
+        if encoder_cache_interval > 1:
+            raise ValueError("encoder_cache_interval and scheduler='lcm' "
+                             "don't compose (few-step sampling)")
+        from pcdms_tpu.pipelines.sampling import lcm_sample_loop
+        latents = lcm_sample_loop(schedule, model_eps, x_init, num_steps,
+                                  jax.random.fold_in(rng, 11),
+                                  origin_steps=lcm_origin_steps)
+    elif scheduler == "ddim" and eta > 0.0:
         from pcdms_tpu.pipelines.sampling import ddim_sample_loop
         # fold_in: rng was already split above (re-splitting would alias
         # rng_eta with rng_vae)

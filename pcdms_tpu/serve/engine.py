@@ -107,9 +107,34 @@ class DynamicBatcher:
         self.max_batch = max_batch
         self.max_delay_s = max_delay_s
         self._q: "queue.Queue[_Pending]" = queue.Queue(queue_size)
+        self._sealed = False
+        self._seal_lock = threading.Lock()
 
     def put(self, item: _Pending, timeout: Optional[float] = None):
-        self._q.put(item, timeout=timeout)
+        """Enqueue with backpressure. Raises EngineClosed once the
+        batcher is sealed: the seal-lock makes put-vs-seal atomic, so a
+        request either lands before the final drain (and is served) or
+        fails loudly — it can never be silently stranded."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._seal_lock:
+                if self._sealed:
+                    raise EngineClosed("batcher sealed")
+                try:
+                    self._q.put_nowait(item)
+                    return
+                except queue.Full:
+                    pass
+            if deadline is not None and time.monotonic() >= deadline:
+                raise queue.Full
+            time.sleep(0.005)
+
+    def seal_and_drain(self) -> List[_Pending]:
+        """Atomically stop accepting new requests and take everything
+        queued (see put)."""
+        with self._seal_lock:
+            self._sealed = True
+            return self.drain()
 
     def pending(self) -> int:
         return self._q.qsize()
@@ -192,26 +217,14 @@ class InferenceEngine:
         if self._closing:
             raise EngineClosed(f"{self.name} is closed")
         fut: Future = Future()
+        # put is atomic against the dispatch thread's seal_and_drain:
+        # it either lands before the final drain (and is served/failed
+        # per the drain contract) or raises EngineClosed here — a
+        # close() racing this submit can never silently strand it
         self._batcher.put(_Pending(dict(inputs), fut, time.monotonic()),
                           timeout=timeout)
         with self._lock:
             self._stats.requests += 1
-        # re-check AFTER the put: a close() racing with this submit may
-        # already have done its final drain, leaving this request
-        # stranded in a queue no thread reads. The dispatch thread only
-        # exits via the _closing branch (which drains first) and close()
-        # drains again after the join, so once it is dead any residue
-        # here is permanently stranded — fail it (this and any other
-        # late request) rather than hang the caller.
-        if self._closing and not self._thread.is_alive():
-            stranded = self._batcher.drain()
-            for p in stranded:
-                _fail_future(p.future, EngineClosed(f"{self.name} closed"))
-            if stranded:
-                with self._lock:
-                    self._stats.failed += len(stranded)
-            if fut.done():   # ours was among the stranded/drained
-                raise EngineClosed(f"{self.name} is closed")
         return fut
 
     def stats(self) -> dict:
@@ -239,19 +252,11 @@ class InferenceEngine:
         self._completer.join(timeout)
         if self._thread.is_alive():
             # join timed out with the dispatch thread still draining;
-            # don't steal its queue — it keeps serving in the background
-            # and honors the drain contract when it finishes
+            # don't steal its queue — it is serving the sealed backlog
+            # and honors the drain contract when it finishes (the seal
+            # guarantees no new request can join that backlog)
             logger.warning("%s: close(timeout=%s) returned before the "
                            "drain finished", self.name, timeout)
-            return
-        # a submit() racing past the _closing check can land after the
-        # dispatch thread's final drain; fail it rather than hang it
-        leftovers = self._batcher.drain()
-        for p in leftovers:
-            _fail_future(p.future, EngineClosed(f"{self.name} closed"))
-        if leftovers:
-            with self._lock:
-                self._stats.failed += len(leftovers)
 
     def __enter__(self):
         return self
@@ -270,17 +275,21 @@ class InferenceEngine:
     def _loop(self):
         while True:
             if self._closing:
+                # seal_and_drain is atomic against put(): everything a
+                # submit managed to enqueue is in `drained`; later puts
+                # raise EngineClosed at the submitter — no request can
+                # be silently stranded whatever close() timeout races
+                drained = self._batcher.seal_and_drain()
                 if self._drain_on_close:
-                    pending = self._batcher.drain()
+                    pending = drained
                 else:
                     pending = []
-                    dropped = self._batcher.drain()
-                    for p in dropped:
+                    for p in drained:
                         _fail_future(p.future,
                                      EngineClosed(f"{self.name} closed"))
-                    if dropped:
+                    if drained:
                         with self._lock:
-                            self._stats.failed += len(dropped)
+                            self._stats.failed += len(drained)
                 while pending:
                     chunk, pending = (pending[:self.buckets[-1]],
                                       pending[self.buckets[-1]:])

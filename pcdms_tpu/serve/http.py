@@ -29,6 +29,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from pcdms_tpu.serve.engine import EngineClosed
+
 logger = logging.getLogger("pcdms_tpu.serve.http")
 
 
@@ -113,6 +115,9 @@ def make_handler(service, request_timeout_s: float = 600.0,
             except queue.Full:
                 self._reply_json(503, {"error": "request queue full — "
                                        "retry later"})
+                return
+            except EngineClosed:
+                self._reply_json(503, {"error": "server shutting down"})
                 return
             try:
                 result = fut.result(request_timeout_s)

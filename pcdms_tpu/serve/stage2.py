@@ -52,6 +52,25 @@ def _check(name, arr, shape):
     return arr
 
 
+def _mesh_wrap(batch_fn, mesh, buckets):
+    """Multi-chip serving: shard each device batch over the mesh's batch
+    axis (pure DP — same recipe as the batchtest CLIs,
+    tests/test_sharded_inference.py). Every bucket must fill the mesh
+    evenly. mesh=None returns batch_fn unchanged."""
+    if mesh is None:
+        return batch_fn
+    bad = [b for b in buckets if b % mesh.devices.size]
+    if bad:
+        raise ValueError(f"buckets {bad} not divisible by the mesh's "
+                         f"{mesh.devices.size} devices")
+
+    def sharded_batch_fn(batch):
+        from pcdms_tpu.parallel.mesh import shard_batch
+        return batch_fn(shard_batch(batch, mesh))
+
+    return sharded_batch_fn
+
+
 class Stage2Service:
     """Dynamic-batched stage-2 pose-transfer serving.
 
@@ -83,21 +102,8 @@ class Stage2Service:
         self._dino_shape = (dino_tokens, dino_dim)
         self._embed_dim = embed_dim
         self._params = params
-        if mesh is not None:
-            # multi-chip serving: each device batch is sharded over the
-            # mesh's batch axis (pure DP — same recipe as the batchtest
-            # CLIs, tests/test_sharded_inference.py); every bucket must
-            # fill the mesh evenly
-            bad = [b for b in buckets if b % mesh.devices.size]
-            if bad:
-                raise ValueError(
-                    f"buckets {bad} not divisible by the mesh's "
-                    f"{mesh.devices.size} devices")
 
         def batch_fn(batch):
-            if mesh is not None:
-                from pcdms_tpu.parallel.mesh import shard_batch
-                batch = shard_batch(batch, mesh)
             embed = None if simple_variant else batch["embed"][:, None, :]
             return stage2_generate(
                 self._params, batch["vae_image"], batch["st_pose"],
@@ -109,7 +115,8 @@ class Stage2Service:
                 encoder_cache_interval=encoder_cache_interval,
                 deterministic_vae=True)
 
-        self.engine = InferenceEngine(batch_fn, buckets=buckets,
+        self.engine = InferenceEngine(_mesh_wrap(batch_fn, mesh, buckets),
+                                      buckets=buckets,
                                       max_delay_ms=max_delay_ms,
                                       queue_size=queue_size,
                                       name="stage2")
@@ -195,17 +202,8 @@ class CascadeService:
         self.height, self.width = height, width
         self._dino_shape = (dino_tokens, dino_dim)
         self._embed_dim = embed_dim
-        if mesh is not None:
-            bad = [b for b in buckets if b % mesh.devices.size]
-            if bad:
-                raise ValueError(
-                    f"buckets {bad} not divisible by the mesh's "
-                    f"{mesh.devices.size} devices")
 
         def batch_fn(batch):
-            if mesh is not None:
-                from pcdms_tpu.parallel.mesh import shard_batch
-                batch = shard_batch(batch, mesh)
             out = cascade_generate(
                 stage1_params, stage2_params, stage3_params,
                 batch["s_embed"], batch["s_pose"], batch["t_pose"],
@@ -218,7 +216,8 @@ class CascadeService:
                 encoder_cache_interval=encoder_cache_interval)
             return out
 
-        self.engine = InferenceEngine(batch_fn, buckets=buckets,
+        self.engine = InferenceEngine(_mesh_wrap(batch_fn, mesh, buckets),
+                                      buckets=buckets,
                                       max_delay_ms=max_delay_ms,
                                       queue_size=queue_size,
                                       name="cascade")

@@ -84,7 +84,15 @@ def ddim_solver_step(schedule: NoiseSchedule, x0, eps, s):
 
 def skipped_timesteps(num_train_timesteps: int, num_ddim_timesteps: int):
     """The N boundary timesteps (n+1)*k - 1 of the skipped DDIM schedule
-    and the skip k (diffusers DDIMSolver)."""
+    and the skip k (diffusers DDIMSolver). N must divide the schedule:
+    a non-divisor would leave the top of the schedule untrained (where
+    few-step inference STARTS), and N > T would silently degenerate
+    every pair to t=s=0."""
+    if not 1 <= num_ddim_timesteps <= num_train_timesteps \
+            or num_train_timesteps % num_ddim_timesteps:
+        raise ValueError(
+            f"num_ddim_timesteps={num_ddim_timesteps} must divide "
+            f"num_train_timesteps={num_train_timesteps}")
     k = num_train_timesteps // num_ddim_timesteps
     ts = np.arange(1, num_ddim_timesteps + 1) * k - 1
     return ts.astype(np.int32), k

@@ -109,6 +109,73 @@ class TestPieces:
         assert np.abs(np.asarray(out_s2) - np.asarray(out_t)).max() > 1e-4
 
 
+class TestLcmSampler:
+    def test_inference_timesteps_on_trained_grid(self):
+        from pcdms_tpu.pipelines.sampling import lcm_inference_timesteps
+        ts = lcm_inference_timesteps(1000, 4, origin_steps=50)
+        np.testing.assert_array_equal(ts, [999, 759, 519, 279])
+        # every inference timestep sits on the TRAINED boundary grid
+        trained, _ = skipped_timesteps(1000, 50)
+        assert set(ts.tolist()) <= set(trained.tolist())
+        with pytest.raises(ValueError, match="divide"):
+            lcm_inference_timesteps(1000, 4, origin_steps=300)
+        with pytest.raises(ValueError, match="divide"):
+            skipped_timesteps(1000, 1001)
+
+    def test_sampler_matches_numpy_mirror(self):
+        """lcm_sample_loop vs an independent numpy implementation of the
+        LCMScheduler recipe, using a zero-eps model (closed form)."""
+        from pcdms_tpu.pipelines.sampling import (
+            lcm_inference_timesteps, lcm_sample_loop,
+        )
+        schedule = sd21_schedule()
+        rng = jax.random.PRNGKey(3)
+        x0 = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 4, 4, 4)), jnp.float32)
+
+        out = lcm_sample_loop(schedule, lambda x, t: jnp.zeros_like(x),
+                              x0, 4, rng, origin_steps=50)
+
+        ts = lcm_inference_timesteps(1000, 4, 50)
+        a = schedule.sqrt_alphas_cumprod
+        s = schedule.sqrt_one_minus_alphas_cumprod
+        x = np.asarray(x0)
+        for i, t in enumerate(ts):
+            x0_pred = x / a[t]                       # eps = 0
+            st = 10.0 * float(t)
+            c_skip = 0.25 / (st ** 2 + 0.25)
+            c_out = st / np.sqrt(st ** 2 + 0.25)
+            denoised = c_skip * x + c_out * x0_pred
+            if i < len(ts) - 1:
+                tn = ts[i + 1]
+                noise = np.asarray(jax.random.normal(
+                    jax.random.fold_in(rng, i), x.shape, jnp.float32))
+                x = a[tn] * denoised + s[tn] * noise
+            else:
+                x = denoised
+        np.testing.assert_allclose(np.asarray(out), x, rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_lcm_scheduler_requires_w_conditioning(self):
+        from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        params = {
+            "unet": unet_init(ks[0], TEACHER_CFG),   # no time_cond
+            "image_proj": image_proj_mlp_init(ks[1], 24, 16, 16),
+            "pose_proj": pose_cond_embedding_init(
+                ks[2], out_channels=8, block_out_channels=(4, 4, 4, 4)),
+            "vae": vae_init(ks[3], VAE_CFG),
+        }
+        z = jnp.zeros((1, 64, 128, 3), jnp.float32)
+        with pytest.raises(ValueError, match="w-conditioned"):
+            stage2_generate(params, z, z,
+                            jnp.zeros((1, 5, 24), jnp.float32),
+                            jnp.zeros((1, 1, 16), jnp.float32),
+                            jax.random.PRNGKey(1), unet_cfg=TEACHER_CFG,
+                            vae_cfg=VAE_CFG, num_steps=4,
+                            scheduler="lcm", compute_dtype=jnp.float32)
+
+
 def tiny_batch(b=2, h=64, w=128, rng_seed=0):
     rng = np.random.default_rng(rng_seed)
     return {
@@ -206,7 +273,7 @@ class TestLcmCli:
             jnp.asarray(rng.standard_normal((1, 5, 24)), jnp.float32),
             jnp.asarray(rng.standard_normal((1, 1, 16)), jnp.float32),
             jax.random.PRNGKey(1), unet_cfg=STUDENT_CFG, vae_cfg=VAE_CFG,
-            num_steps=4, guidance_scale=2.0, scheduler="ddim",
+            num_steps=4, guidance_scale=2.0, scheduler="lcm",
             compute_dtype=jnp.float32)
         assert img.shape == (1, 64, 128, 3)
         assert np.isfinite(np.asarray(img)).all()
