@@ -24,7 +24,8 @@ from pcdms_tpu.pipelines.stage3_refine import stage3_generate
 
 def cascade_generate(stage1_params, stage2_params, stage3_params,
                      s_embed, s_pose_coords, t_pose_coords,
-                     vae_image, st_pose_image, dino_feats, rng, *,
+                     vae_image, st_pose_image, dino_feats, rng,
+                     seeds=None, *,
                      prior_cfg: PriorConfig = PriorConfig(),
                      stage2_cfg: UNetConfig,
                      stage3_cfg: UNetConfig,
@@ -43,31 +44,56 @@ def cascade_generate(stage1_params, stage2_params, stage3_params,
     vae_image: (B, H, 2W, 3) [source | black] canvas.
     st_pose_image: (B, H, 2W, 3) skeleton canvas (stage 2).
     dino_feats: (B, 257, 1536) source DINOv2 features (stages 2 & 3).
+    seeds: optional (B,) int32 per-request seeds. When given, every
+        noise draw in all three stages is derived per row from its seed
+        (stage-1 ancestral noise via ``stage1_generate(seeds=...)``,
+        stage-2/3 initial latents via per-row ``fold_in``, VAE encodes
+        at the posterior mean) — row i's output is then a pure function
+        of its own inputs + seed, independent of batch composition
+        (the serving layer's determinism contract). Without seeds the
+        batch-shaped ``rng`` path is unchanged.
     Returns dict with 'embeds', 'inpainted' (full canvas), 'refined'
     (target half, refined).
     """
     r1, r2, r3 = jax.random.split(rng, 3)
+    deterministic = seeds is not None
+    s2_latents = s3_latents = None
+    if deterministic:
+        seeds = jnp.asarray(seeds, jnp.int32)
+
+        def row_latents(stage_tag, shape):
+            base = jax.random.PRNGKey(stage_tag)
+            return jax.vmap(lambda s: jax.random.normal(
+                jax.random.fold_in(base, s), shape, jnp.float32))(seeds)
+
+        bb, hh, ww2, _ = vae_image.shape
+        s2_latents = row_latents(2, (hh // 8, ww2 // 8, 4))
+        s3_latents = row_latents(3, (hh // 8, ww2 // 16, 4))
 
     embeds = stage1_generate(
         stage1_params, s_embed, s_pose_coords, t_pose_coords, r1,
-        prior_cfg=prior_cfg, num_steps=prior_steps, guidance_scale=0.0)
+        seeds=seeds, prior_cfg=prior_cfg, num_steps=prior_steps,
+        guidance_scale=0.0)
 
     inpainted = stage2_generate(
         stage2_params, vae_image, st_pose_image, dino_feats,
-        embeds[:, None, :], r2, unet_cfg=stage2_cfg, vae_cfg=vae_cfg,
-        num_steps=inpaint_steps, guidance_scale=guidance_scale,
+        embeds[:, None, :], r2, latents=s2_latents, unet_cfg=stage2_cfg,
+        vae_cfg=vae_cfg, num_steps=inpaint_steps,
+        guidance_scale=guidance_scale,
         scheduler=scheduler, compute_dtype=compute_dtype,
-        encoder_cache_interval=encoder_cache_interval)
+        encoder_cache_interval=encoder_cache_interval,
+        deterministic_vae=deterministic)
 
     # right half of the canvas = generated target
     half = inpainted.shape[2] // 2
     target = inpainted[:, :, half:, :]
 
     refined = stage3_generate(
-        stage3_params, target, dino_feats, r3, unet_cfg=stage3_cfg,
-        vae_cfg=vae_cfg, num_steps=refine_steps,
+        stage3_params, target, dino_feats, r3, latents=s3_latents,
+        unet_cfg=stage3_cfg, vae_cfg=vae_cfg, num_steps=refine_steps,
         guidance_scale=guidance_scale, scheduler=scheduler,
         compute_dtype=compute_dtype,
-        encoder_cache_interval=encoder_cache_interval)
+        encoder_cache_interval=encoder_cache_interval,
+        deterministic_vae=deterministic)
 
     return {"embeds": embeds, "inpainted": inpainted, "refined": refined}

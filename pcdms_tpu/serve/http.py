@@ -25,6 +25,7 @@ import json
 import logging
 import queue
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -121,6 +122,14 @@ def make_handler(service, request_timeout_s: float = 600.0,
                 return
             try:
                 result = fut.result(request_timeout_s)
+            except FuturesTimeout:
+                # still queued or mid-batch: cancel if it never started
+                # (frees the engine slot); if it is already running the
+                # result is simply discarded when it lands
+                fut.cancel()
+                self._reply_json(504, {"error": "request timed out after "
+                                       f"{request_timeout_s}s"})
+                return
             except Exception as e:  # noqa: BLE001 — surface, don't crash
                 # failures inside the model batch are server errors even
                 # when they carry ValueError types

@@ -14,12 +14,15 @@ canvas encode runs at the posterior mean (``deterministic_vae=True``),
 and (c) UniPC / eta=0 DDIM sampling injects no further noise. Padding
 rows (the engine repeats the last request to fill a bucket) therefore
 compute valid-but-discarded results and cannot perturb real rows.
+(Outputs are bit-exact within a bucket size; across bucket sizes they
+agree up to fp rounding, since XLA tiles each batch shape differently.)
 
-CascadeService is reproducible for a fixed traffic pattern but NOT
-batch-composition-invariant: the stage-1 UnCLIP sampler draws per-step
-noise shaped like the whole batch, so a request's prior embedding can
-differ across batch compositions. Use Stage2Service where strict
-per-request determinism matters.
+CascadeService holds the same contract through all three stages: each
+request carries a ``seed``, and ``cascade_generate(seeds=...)`` derives
+every noise draw (stage-1 ancestral noise, stage-2/3 initial latents)
+per row from that seed with posterior-mean VAE encodes — so the full
+prior -> inpaint -> refine output is a pure function of the request,
+independent of which other requests share its device batch.
 """
 
 from __future__ import annotations
@@ -178,9 +181,9 @@ class CascadeService:
     """Dynamic-batched full 3-stage cascade serving.
 
     One request = (source CLIP embedding, source/target keypoints,
-    canvases, DINOv2 features) -> {"refined": (H, W, 3), "inpainted":
-    (H, 2W, 3), "embeds": (1024,)}. Reproducible for a fixed traffic
-    pattern; see the module docstring for the batch-invariance caveat.
+    canvases, DINOv2 features, seed) -> {"refined": (H, W, 3),
+    "inpainted": (H, 2W, 3), "embeds": (1024,)}. Per-request
+    deterministic regardless of batch composition (module docstring).
     """
 
     def __init__(self, stage1_params, stage2_params, stage3_params, *,
@@ -208,7 +211,8 @@ class CascadeService:
                 stage1_params, stage2_params, stage3_params,
                 batch["s_embed"], batch["s_pose"], batch["t_pose"],
                 batch["vae_image"], batch["st_pose"], batch["dino"],
-                jax.random.PRNGKey(0), prior_cfg=prior_cfg,
+                jax.random.PRNGKey(0), seeds=batch["seed"],
+                prior_cfg=prior_cfg,
                 stage2_cfg=stage2_cfg, stage3_cfg=stage3_cfg,
                 vae_cfg=vae_cfg, prior_steps=steps, inpaint_steps=steps,
                 refine_steps=steps, guidance_scale=guidance_scale,
@@ -233,10 +237,12 @@ class CascadeService:
             "vae_image": np.zeros((h, w2, 3), np.float32),
             "st_pose": np.zeros((h, w2, 3), np.float32),
             "dino": np.zeros(self._dino_shape, np.float32),
+            "seed": np.int32(0),
         }
 
     def submit(self, *, s_embed, s_pose, t_pose, vae_image, st_pose,
-               dino_features, timeout: Optional[float] = None):
+               dino_features, seed: int = 0,
+               timeout: Optional[float] = None):
         h, w2 = self.height, 2 * self.width
         inputs = {
             "s_embed": _check("s_embed", np.ravel(s_embed),
@@ -247,6 +253,7 @@ class CascadeService:
             "st_pose": _check("st_pose", st_pose, (h, w2, 3)),
             "dino": _check("dino_features", dino_features,
                            self._dino_shape),
+            "seed": np.asarray(seed, np.int32),
         }
         return self.engine.submit(inputs, timeout=timeout)
 

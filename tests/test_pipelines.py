@@ -84,6 +84,30 @@ class TestStage1Pipeline:
         assert out1.shape == (B, 16)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
+    def test_seeds_batch_composition_invariance(self, models):
+        """seeds= derives init + ancestral noise per row: a row's
+        trajectory is independent of batch size/position and of rng."""
+        k = jax.random.PRNGKey(3)
+        s_embed = jax.random.normal(k, (3, 16))
+        s_pose = jnp.tile(jnp.linspace(0.1, 0.9, 36), (3, 1))
+        t_pose = jnp.tile(jnp.linspace(0.9, 0.1, 36), (3, 1))
+        seeds = np.array([4, 5, 6], np.int32)
+        full = stage1_generate(models["prior"], s_embed, s_pose, t_pose,
+                               jax.random.PRNGKey(1), seeds=seeds,
+                               prior_cfg=PRIOR_CFG, num_steps=4,
+                               guidance_scale=0.0)
+        solo = stage1_generate(models["prior"], s_embed[1:2],
+                               s_pose[1:2], t_pose[1:2],
+                               jax.random.PRNGKey(2),   # rng-independent
+                               seeds=seeds[1:2], prior_cfg=PRIOR_CFG,
+                               num_steps=4, guidance_scale=0.0)
+        # identical noise streams; equal up to fp rounding (XLA tiles
+        # differently per batch shape — same bound as test_serve.py's
+        # stage-2 batch-invariance test)
+        np.testing.assert_allclose(np.asarray(full[1]), np.asarray(solo[0]),
+                                   rtol=1e-5, atol=1e-5)
+        assert not np.allclose(np.asarray(full[0]), np.asarray(full[2]))
+
     def test_cfg_path(self, models):
         out = stage1_generate(models["prior"], jnp.ones((B, 16)),
                               jnp.full((B, 36), 0.4), jnp.full((B, 36), 0.6),
@@ -207,3 +231,49 @@ class TestCascade:
         assert out["refined"].shape == (B, H, W, 3)
         for v in out.values():
             assert np.isfinite(np.asarray(v)).all()
+
+    def test_seeds_batch_composition_invariance(self, models):
+        """With per-request seeds, a request's full-cascade output is
+        identical whether it runs alone or inside a larger batch (the
+        serving layer's determinism contract, serve/stage2.py)."""
+        k = jax.random.PRNGKey(13)
+        n = 3
+        ks = jax.random.split(k, 4)
+        inputs = dict(
+            s_embed=jax.random.normal(ks[0], (n, 16)),
+            s_pose=jnp.tile(jnp.linspace(0.2, 0.8, 36), (n, 1)),
+            t_pose=jnp.tile(jnp.linspace(0.8, 0.2, 36), (n, 1)),
+            vae_image=jax.random.uniform(ks[1], (n, H, 2 * W, 3),
+                                         minval=-1, maxval=1),
+            st_pose=jax.random.uniform(ks[2], (n, H, 2 * W, 3),
+                                       minval=-1, maxval=1),
+            dino=jax.random.normal(ks[3], (n, 5, 24)),
+        )
+        seeds = np.array([7, 8, 9], np.int32)
+        kwargs = dict(prior_cfg=PRIOR_CFG, stage2_cfg=UNET2_CFG,
+                      stage3_cfg=UNET3_CFG, vae_cfg=VAE_CFG,
+                      prior_steps=2, inpaint_steps=2, refine_steps=2,
+                      scheduler="ddim", compute_dtype=jnp.float32)
+        full = cascade_generate(
+            models["prior"], models["s2"], models["s3"],
+            inputs["s_embed"], inputs["s_pose"], inputs["t_pose"],
+            inputs["vae_image"], inputs["st_pose"], inputs["dino"],
+            jax.random.PRNGKey(12), seeds=seeds, **kwargs)
+        solo = cascade_generate(
+            models["prior"], models["s2"], models["s3"],
+            inputs["s_embed"][1:2], inputs["s_pose"][1:2],
+            inputs["t_pose"][1:2], inputs["vae_image"][1:2],
+            inputs["st_pose"][1:2], inputs["dino"][1:2],
+            jax.random.PRNGKey(99),     # rng must not matter with seeds
+            seeds=seeds[1:2], **kwargs)
+        # identical noise streams; equal up to fp rounding, amplified
+        # slightly through the 3-stage chain (XLA tiles differently per
+        # batch shape — same bound family as test_serve.py)
+        for key, tol in (("embeds", 1e-5), ("inpainted", 1e-3),
+                         ("refined", 1e-3)):
+            np.testing.assert_allclose(np.asarray(full[key][1]),
+                                       np.asarray(solo[key][0]),
+                                       rtol=1e-4, atol=tol)
+        # distinct seeds produce distinct trajectories
+        assert not np.allclose(np.asarray(full["refined"][0]),
+                               np.asarray(full["refined"][2]))

@@ -382,15 +382,23 @@ class TestServeCLI:
         try:
             r = request_inputs(0)
             rng = np.random.default_rng(0)
-            out = svc.submit(
+            req = dict(
                 s_embed=rng.normal(size=(16,)).astype(np.float32),
                 s_pose=np.full((36,), 0.4, np.float32),
                 t_pose=np.full((36,), 0.6, np.float32),
                 vae_image=r["vae_image"], st_pose=r["st_pose"],
-                dino_features=r["dino_features"]).result(300)
+                dino_features=r["dino_features"])
+            out = svc.submit(**req, seed=5).result(300)
             assert out["refined"].shape == (H, W, 3)
             assert out["inpainted"].shape == (H, 2 * W, 3)
             assert np.isfinite(out["refined"]).all()
+            # same request + seed reproduces exactly; a different seed
+            # gives a different trajectory (per-request determinism —
+            # serve/stage2.py module docstring)
+            again = svc.submit(**req, seed=5).result(300)
+            np.testing.assert_array_equal(out["refined"], again["refined"])
+            other = svc.submit(**req, seed=6).result(300)
+            assert not np.allclose(out["refined"], other["refined"])
         finally:
             svc.close()
 
@@ -439,3 +447,32 @@ class TestHTTP:
         with ServingServer(svc, port=0, max_body_bytes=1024) as server:
             with pytest.raises(RuntimeError, match="HTTP 413"):
                 post_npz("127.0.0.1", server.port, request_inputs(0))
+
+    def test_request_timeout_replies_504(self):
+        """A request whose result misses request_timeout_s gets a 504
+        (and its future is cancelled, freeing the engine slot), not a
+        500 — and the server keeps serving."""
+        from concurrent.futures import Future
+        from pcdms_tpu.serve.http import ServingServer, post_npz
+
+        class StalledService:
+            def __init__(self):
+                self.futures = []
+
+            def submit(self, timeout=None, **inputs):
+                fut = Future()
+                self.futures.append(fut)
+                return fut              # never resolved by anyone
+
+            def stats(self):
+                return {}
+
+            def close(self, drain=True):
+                pass
+
+        svc = StalledService()
+        with ServingServer(svc, port=0, request_timeout_s=0.2) as server:
+            with pytest.raises(RuntimeError, match="HTTP 504"):
+                post_npz("127.0.0.1", server.port,
+                         {"x": np.zeros((2,), np.float32)})
+            assert svc.futures[0].cancelled()
