@@ -23,6 +23,18 @@ every noise draw (stage-1 ancestral noise, stage-2/3 initial latents)
 per row from that seed with posterior-mean VAE encodes — so the full
 prior -> inpaint -> refine output is a pure function of the request,
 independent of which other requests share its device batch.
+
+The contract requires a noise-free sampler, so both services accept
+only ``scheduler in {"unipc", "ddim"}`` (eta=0 DDIM; the constructors
+reject anything else — e.g. ``lcm``, whose ancestral noise is drawn
+from the batch rng, not the request seed).
+
+Seeds are SERVICE-LOCAL: the two services derive initial latents
+differently (Stage2Service host-side via numpy Philox,
+``_request_latents``; CascadeService on-device via
+``fold_in(PRNGKey, seed)`` inside ``cascade_generate``), so the same
+seed is deterministic within each service but does not produce the
+same stage-2 image across ``--model stage2`` and ``--model cascade``.
 """
 
 from __future__ import annotations
@@ -39,6 +51,21 @@ from pcdms_tpu.models.vae import VAEConfig
 from pcdms_tpu.pipelines.cascade import cascade_generate
 from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
 from pcdms_tpu.serve.engine import InferenceEngine
+
+
+# samplers that inject no noise beyond the request-seeded initial
+# latents — the only ones compatible with the per-request determinism
+# contract (module docstring)
+DETERMINISTIC_SCHEDULERS = ("unipc", "ddim")
+
+
+def _check_scheduler(scheduler: str) -> str:
+    if scheduler not in DETERMINISTIC_SCHEDULERS:
+        raise ValueError(
+            f"scheduler={scheduler!r} breaks the per-request determinism "
+            f"contract (draws batch-shaped noise from the batch rng); "
+            f"serving supports {DETERMINISTIC_SCHEDULERS}")
+    return scheduler
 
 
 def _request_latents(seed: int, lh: int, lw: int) -> np.ndarray:
@@ -99,6 +126,7 @@ class Stage2Service:
                  queue_size: int = 256,
                  mesh=None,
                  warmup: bool = False):
+        scheduler = _check_scheduler(scheduler)
         self.height, self.width = height, width
         self.lh, self.lw = height // 8, (2 * width) // 8
         self.simple_variant = simple_variant
@@ -202,6 +230,7 @@ class CascadeService:
                  queue_size: int = 256,
                  mesh=None,
                  warmup: bool = False):
+        scheduler = _check_scheduler(scheduler)
         self.height, self.width = height, width
         self._dino_shape = (dino_tokens, dino_dim)
         self._embed_dim = embed_dim

@@ -353,6 +353,20 @@ class TestStage2Service:
         finally:
             svc.close()
 
+    def test_nondeterministic_scheduler_rejected(self, s2_params):
+        """The determinism contract only holds for noise-free samplers;
+        'lcm' draws batch-shaped ancestral noise from the batch rng, so
+        the constructor must reject it (ADVICE r3)."""
+        with pytest.raises(ValueError, match="determinism"):
+            make_service(s2_params, scheduler="lcm")
+
+        from pcdms_tpu.models.prior_transformer import PriorConfig
+        from pcdms_tpu.serve.stage2 import CascadeService
+        with pytest.raises(ValueError, match="determinism"):
+            CascadeService(None, None, None, prior_cfg=PriorConfig(),
+                           stage2_cfg=UNET2_CFG, stage3_cfg=UNET2_CFG,
+                           scheduler="lcm")
+
 
 class TestServeCLI:
     """build_service wires configs/params/services like the other CLIs'
