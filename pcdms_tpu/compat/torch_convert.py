@@ -69,8 +69,11 @@ def convert_norm(sd: StateDict, prefix: str):
 
 
 def _convert_timestep_embedding(sd, prefix):
-    return {"linear_1": convert_linear(sd, f"{prefix}.linear_1"),
-            "linear_2": convert_linear(sd, f"{prefix}.linear_2")}
+    p = {"linear_1": convert_linear(sd, f"{prefix}.linear_1"),
+         "linear_2": convert_linear(sd, f"{prefix}.linear_2")}
+    if f"{prefix}.cond_proj.weight" in sd:      # LCM guidance conditioning
+        p["cond_proj"] = convert_linear(sd, f"{prefix}.cond_proj")
+    return p
 
 
 # ---------------------------------------------------------------------------
