@@ -13,9 +13,11 @@ itself only uses DWPose. This module provides the same facade surface:
     mlsd, openpose family, midas depth/normal, leres(+boost), normalbae,
     zoe, sam) run once their torch checkpoint is supplied via
     params={'weights': ...}
-  * ``mediapipe_face`` (the one detector needing the external
-    mediapipe package) raises a clear NotImplementedError — this image
-    has no network egress, and PCDMs' own pipelines never call it.
+  * ``mediapipe_face`` passes through to the external mediapipe
+    package when it is importable (exactly as the reference wraps the
+    same pip dependency), and raises a clear NotImplementedError
+    otherwise — this image has no network egress, and PCDMs' own
+    pipelines never call it.
 
 API parity: Processor(processor_id)(image, to_pil=True).
 """
@@ -99,6 +101,49 @@ def scribble_from_edges(img, low_threshold: int = 100,
     return np.stack([edges] * 3, axis=-1)
 
 
+def mediapipe_face(img, max_faces: int = 1,
+                   min_confidence: float = 0.5):
+    """Face landmark annotation via the external ``mediapipe`` package
+    (the reference wraps the same pip dependency —
+    /root/reference/src/controlnet_aux/mediapipe_face/mediapipe_face_common.py:1-10):
+    run FaceMesh on the image and rasterize the detected landmark mesh
+    (contours emphasized) onto a black canvas of the same size.
+
+    Only available when ``mediapipe`` is importable; the Processor
+    facade gates on that at construction time.
+    """
+    import mediapipe as mp
+
+    arr = _to_np(img)
+    h, w = arr.shape[:2]
+    canvas = np.zeros((h, w, 3), np.uint8)
+    face_mesh = mp.solutions.face_mesh
+    draw = mp.solutions.drawing_utils
+    # ControlNet-style annotation: dim tesselation mesh + bright contours
+    mesh_spec = draw.DrawingSpec(color=(10, 200, 10), thickness=1,
+                                 circle_radius=1)
+    contour_spec = draw.DrawingSpec(color=(10, 10, 200), thickness=2,
+                                    circle_radius=1)
+    with face_mesh.FaceMesh(
+            static_image_mode=True, max_num_faces=max_faces,
+            refine_landmarks=True,
+            min_detection_confidence=min_confidence) as fm:
+        results = fm.process(arr)
+    if results.multi_face_landmarks:
+        for landmarks in results.multi_face_landmarks:
+            draw.draw_landmarks(
+                canvas, landmarks,
+                connections=face_mesh.FACEMESH_TESSELATION,
+                landmark_drawing_spec=None,
+                connection_drawing_spec=mesh_spec)
+            draw.draw_landmarks(
+                canvas, landmarks,
+                connections=face_mesh.FACEMESH_CONTOURS,
+                landmark_drawing_spec=None,
+                connection_drawing_spec=contour_spec)
+    return canvas
+
+
 class Processor:
     """controlnet-aux ``Processor``-compatible facade."""
 
@@ -131,6 +176,14 @@ class Processor:
             return run
         if pid in ("none", "resize"):
             return _to_np
+        if pid == "mediapipe_face":
+            import importlib.util
+            if importlib.util.find_spec("mediapipe") is None:
+                raise NotImplementedError(
+                    "processor 'mediapipe_face' requires the external "
+                    "'mediapipe' package (the reference wraps the same pip "
+                    "dependency); install it to enable this processor")
+            return mediapipe_face
         if pid in _IMPLEMENTED_NN:
             return self._resolve_nn(pid)
         if pid in _NN_DETECTORS:

@@ -50,3 +50,14 @@ class TestFacadeErrors:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             Processor("not_a_processor")
+
+    def test_mediapipe_face_gated_on_package(self):
+        """Passthrough to the external mediapipe package when importable
+        (mirroring the reference's external dep), clear error otherwise."""
+        import importlib.util
+        if importlib.util.find_spec("mediapipe") is None:
+            with pytest.raises(NotImplementedError, match="mediapipe"):
+                Processor("mediapipe_face")
+        else:
+            from pcdms_tpu.pose.processors import mediapipe_face
+            assert Processor("mediapipe_face")._fn is mediapipe_face
