@@ -101,8 +101,20 @@ def zero1_shardings(tree, mesh: Mesh, axis_name: str = "data",
 
 def shard_batch(batch, mesh: Mesh, axis_name=None):
     """Place a host batch onto the mesh, sharded along the batch axis
-    (over every mesh axis by default — see ``batch_sharding``)."""
+    (over every mesh axis by default — see ``batch_sharding``).
+
+    Multi-host: each process's ``batch`` is its process-LOCAL shard (the
+    data layer loads per-process slices — ``PairList.shard(process_index,
+    process_count)``, the SPMD replacement for the reference's
+    ``DistributedSampler(num_replicas, rank)``,
+    stage1_train_prior_model.py:167-173); the global array is assembled
+    from the local shards without any cross-host data movement."""
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        import numpy as np
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
