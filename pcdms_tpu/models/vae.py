@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from pcdms_tpu.nn.layers import (
     conv2d_apply, conv2d_init, group_norm_1d_apply, group_norm_apply,
-    group_norm_init, linear_apply, linear_init, nearest_upsample_2x, silu,
+    group_norm_init, linear_apply, linear_init, silu, upsample2x_conv3x3,
 )
 from pcdms_tpu.nn.unet_blocks import PAD1
 
@@ -212,7 +212,9 @@ def vae_decode(params, z, cfg: VAEConfig = VAEConfig()):
         for resnet in block["resnets"]:
             h = _resnet_apply(resnet, h, g)
         if "upsampler" in block:
-            h = conv2d_apply(block["upsampler"], nearest_upsample_2x(h),
-                             padding=PAD1)
+            # fused nearest-2x + conv3x3 (layers.upsample2x_conv3x3):
+            # 16/36 the MACs, no 4x intermediate — big at the decoder's
+            # 256x512-and-up shapes
+            h = upsample2x_conv3x3(block["upsampler"], h)
     h = silu(group_norm_apply(dec["norm_out"], h, g, 1e-6))
     return conv2d_apply(dec["conv_out"], h, padding=PAD1)

@@ -257,3 +257,62 @@ def nearest_upsample_2x(x):
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _phase_taps(k, axis):
+    """Collapse one 3-tap spatial axis of a 3x3 kernel onto the 2 distinct
+    source pixels each output phase reads after nearest-2x upsampling.
+
+    On the upsampled grid, output row 2i+d (d = phase) reads upsampled
+    rows 2i+d-1 .. 2i+d+1, which map to ORIGINAL rows {i-1, i} (d=0,
+    weights [K0, K1+K2]) or {i, i+1} (d=1, weights [K0+K1, K2]) — the
+    duplicated source pixel just sums its kernel taps. Returns the two
+    2-tap kernels (phase 0, phase 1) along ``axis``."""
+    k0, k1, k2 = (jnp.take(k, i, axis=axis) for i in range(3))
+    return (jnp.stack([k0, k1 + k2], axis=axis),
+            jnp.stack([k0 + k1, k2], axis=axis))
+
+
+def upsample2x_conv3x3(params, x):
+    """nearest_upsample_2x followed by a SAME 3x3 conv, WITHOUT
+    materializing the 4x upsampled tensor.
+
+    Mathematically identical (up to fp summation order) to
+    ``conv2d_apply(params, nearest_upsample_2x(x), padding=[(1,1),(1,1)])``
+    but decomposed into the 4 output phases: every upsampled pixel is a
+    copy of an original pixel, so each phase's 3x3 window touches only a
+    2x2 patch of ORIGINAL pixels with phase-specific tap sums
+    (``_phase_taps``). One (2, 2, Cin, 4*Cout) conv over the once-padded
+    input does 16 MACs per original pixel instead of the naive 36 on the
+    upsampled grid (2.25x fewer FLOPs) and skips the 4x-sized
+    intermediate in HBM — measured 2.5-3x faster than the naive
+    composition at the SD-2.1 UNet/VAE upsampler shapes on v5e
+    (PERF.md round 4).
+    """
+    k = params["kernel"].astype(x.dtype)           # (3, 3, Cin, Cout)
+    kr0, kr1 = _phase_taps(k, axis=0)              # (2, 3, Cin, Cout)
+    phases = []
+    for kr in (kr0, kr1):
+        kc0, kc1 = _phase_taps(kr, axis=1)         # (2, 2, Cin, Cout)
+        phases.extend([kc0, kc1])                  # (di, dj) row-major
+    kern = jnp.concatenate(phases, axis=3)         # (2, 2, Cin, 4*Cout)
+
+    b, h, w, _ = x.shape
+    co = k.shape[3]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kern, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(b, h + 1, w + 1, 4, co)
+    # window r covers original rows (r-1, r): phase d=0 at output row i
+    # reads rows (i-1, i) -> window i; d=1 reads (i, i+1) -> window i+1
+    p00 = y[:, :h, :w, 0]
+    p01 = y[:, :h, 1:, 1]
+    p10 = y[:, 1:, :w, 2]
+    p11 = y[:, 1:, 1:, 3]
+    out = jnp.stack([jnp.stack([p00, p01], axis=3),
+                     jnp.stack([p10, p11], axis=3)], axis=2)
+    out = out.reshape(b, 2 * h, 2 * w, co)
+    if "bias" in params:
+        out = out + params["bias"].astype(x.dtype)
+    return out

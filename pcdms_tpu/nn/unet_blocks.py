@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from pcdms_tpu.nn.layers import (
     conv2d_apply, conv2d_init, group_norm_1d_apply, group_norm_apply,
     group_norm_init, layer_norm_init, linear_apply, linear_init,
-    nearest_upsample_2x, silu,
+    silu, upsample2x_conv3x3,
 )
 from pcdms_tpu.nn.transformer import (
     transformer_block_apply, transformer_block_init,
@@ -133,7 +133,10 @@ def upsample_init(key, ch: int, dtype=jnp.float32):
 
 
 def upsample_apply(params, x):
-    return conv2d_apply(params["conv"], nearest_upsample_2x(x), padding=PAD1)
+    # fused nearest-2x + conv3x3: same math as
+    # conv2d_apply(params["conv"], nearest_upsample_2x(x), PAD1) at
+    # 16/36 the MACs and no 4x intermediate (layers.upsample2x_conv3x3)
+    return upsample2x_conv3x3(params["conv"], x)
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,187 @@ def main():
                 print(f"flash bq{bq} bk{bk}{tag}: FAILED {type(e).__name__}",
                       flush=True)
 
+    if "resnet" in PARTS:
+        from pcdms_tpu.nn.unet_blocks import (
+            resnet_block_init, resnet_block_apply,
+        )
+        temb = jax.random.normal(key, (B, 1280), jnp.bfloat16)
+        for h, w, c in levels:
+            p = cast_pytree(resnet_block_init(key, c, c, 1280), jnp.bfloat16)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+            f = functools.partial(resnet_block_apply, p, temb=temb)
+            fl = 2 * 2 * B * h * w * c * c * 9
+            time_scan(f"resnet {h}x{w}x{c}", f, x, 16, flops=fl)
+
+    if "concat" in PARTS:
+        # up-block skip concat: concat(x, skip) -> conv  VS  the
+        # mathematically identical split conv_a(x) + conv_b(skip)
+        # (avoids materializing the 2c-channel concat tensor in HBM)
+        for h, w, c in levels:
+            p = cast_pytree(conv2d_init(key, 2 * c, c, 3), jnp.bfloat16)
+            ka, kb = jnp.split(p["kernel"], 2, axis=2)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+            fl = 2 * B * h * w * 2 * c * c * 9
+
+            def f_cat(x, p=p):
+                return conv2d_apply(p, jnp.concatenate([x, x], axis=-1),
+                                    padding=[(1, 1), (1, 1)])
+
+            def f_split(x, ka=ka, kb=kb, bias=p["bias"]):
+                ya = jax.lax.conv_general_dilated(
+                    x, ka, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                yb = jax.lax.conv_general_dilated(
+                    x, kb, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return ya + yb + bias
+
+            time_scan(f"concat+conv {h}x{w}x{c}", f_cat, x, 16, flops=fl)
+            time_scan(f"split-conv  {h}x{w}x{c}", f_split, x, 16, flops=fl)
+
+    if "updown" in PARTS:
+        from pcdms_tpu.nn.layers import nearest_upsample_2x
+        for h, w, c in levels[1:]:
+            p = cast_pytree(conv2d_init(key, c, c, 3), jnp.bfloat16)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+
+            def f_up(x, p=p):
+                return conv2d_apply(p, nearest_upsample_2x(x),
+                                    padding=[(1, 1), (1, 1)])
+
+            def f_down(x, p=p):
+                y = conv2d_apply(p, x, stride=2, padding=[(1, 1), (1, 1)])
+                return jnp.repeat(jnp.repeat(y, 2, 1), 2, 2)  # keep shape
+
+            fl_up = 2 * B * 4 * h * w * c * c * 9
+            time_scan(f"upsample+conv {h}x{w}x{c}", f_up, x, 8, flops=fl_up)
+            time_scan(f"downconv(+pad back) {h}x{w}x{c}", f_down, x, 8)
+
+    if "t2dparts" in PARTS:
+        # decompose the level-0 transformer2d call: where do the
+        # ~5ms/call (B=8) beyond the flash kernel go?
+        from pcdms_tpu.nn.layers import (
+            layer_norm_apply, layer_norm_init, linear_init,
+        )
+        from pcdms_tpu.nn.transformer import (
+            attention_apply, attention_init, feed_forward_apply,
+            feed_forward_init,
+        )
+        h, w, c = levels[0]
+        L = h * w
+        tok = jax.random.normal(key, (B, L, c), jnp.bfloat16)
+
+        ap = cast_pytree(attention_init(key, c, c // 64, 64), jnp.bfloat16)
+        time_scan(f"attn1 full (proj+flash+out) {L}x{c}",
+                  functools.partial(attention_apply, ap, heads=c // 64),
+                  tok, 16)
+
+        from pcdms_tpu.ops.flash_attention import flash_attention
+        qh = jax.random.normal(key, (B, c // 64, L, 64), jnp.bfloat16)
+
+        def f_flash(q):
+            return flash_attention(q, q, q)
+
+        time_scan(f"flash kernel only {L}x{c}", f_flash, qh, 16)
+
+        fp = cast_pytree(feed_forward_init(key, c), jnp.bfloat16)
+        fl_ff = 2 * B * L * c * (c * 4) * 3   # proj_in 2x + proj_out
+        time_scan(f"geglu ff {L}x{c}",
+                  functools.partial(feed_forward_apply, fp), tok, 16,
+                  flops=fl_ff)
+
+        lp = cast_pytree(layer_norm_init(c), jnp.bfloat16)
+        time_scan(f"layernorm {L}x{c}",
+                  functools.partial(layer_norm_apply, lp), tok, 16,
+                  bytes_moved=2 * tok.size * 2)
+
+        ctx = jax.random.normal(key, (B, 258, 1024), jnp.bfloat16)
+        xp = cast_pytree(attention_init(key, c, c // 64, 64,
+                                        context_dim=1024), jnp.bfloat16)
+
+        def f_cross(tok):
+            return attention_apply(xp, tok, ctx, heads=c // 64)
+
+        time_scan(f"cross-attn {L}x{c}", f_cross, tok, 16)
+
+    if "headswap" in PARTS:
+        # cost of the (B, L, H*D) <-> (B, H, L, D) head transposes around
+        # the flash kernel (3 in + 1 out per attention call)
+        h, w, c = levels[0]
+        L = h * w
+        heads = c // 64
+        tok = jax.random.normal(key, (B, L, c), jnp.bfloat16)
+
+        def f_swap(x):
+            y = x.reshape(B, L, heads, 64).transpose(0, 2, 1, 3)
+            return y + 1.0
+
+        def f_swap4(x):
+            # the full per-call transpose bill: q,k,v in + out back
+            q = x.reshape(B, L, heads, 64).transpose(0, 2, 1, 3)
+            k = (x * 2).reshape(B, L, heads, 64).transpose(0, 2, 1, 3)
+            v = (x * 3).reshape(B, L, heads, 64).transpose(0, 2, 1, 3)
+            o = (q + k + v).transpose(0, 2, 1, 3).reshape(B, L, c)
+            return o
+
+        time_scan(f"head-swap x1 {L}x{c}", f_swap, tok, 16,
+                  bytes_moved=2 * tok.size * 2)
+        time_scan(f"head-swap x4 {L}x{c}", f_swap4, tok, 16,
+                  bytes_moved=8 * tok.size * 2)
+
+    if "upfuse" in PARTS:
+        # naive nearest-up + conv3x3 VS the phase-decomposed fused op
+        # (upsample2x_conv3x3: 16 vs 36 MACs/pixel, no 4x intermediate)
+        from pcdms_tpu.nn.layers import nearest_upsample_2x, \
+            upsample2x_conv3x3
+        # UNet upsamplers (8x16->, 16x32->, 32x64->) + VAE decoder
+        # upsamplers for the 512x1024 output (64x128x512 .. 256x512x256)
+        shapes = [(8, 16, 1280), (16, 32, 1280), (32, 64, 640),
+                  (64, 128, 512), (128, 256, 512), (256, 512, 256)]
+        for h, w, c in shapes:
+            p = cast_pytree(conv2d_init(key, c, c, 3), jnp.bfloat16)
+            x = jax.random.normal(key, (B, h, w, c), jnp.bfloat16)
+
+            def f_naive(x, p=p):
+                return conv2d_apply(p, nearest_upsample_2x(x),
+                                    padding=[(1, 1), (1, 1)])
+
+            def f_fused(x, p=p):
+                return upsample2x_conv3x3(p, x)
+
+            fl = 2 * B * 4 * h * w * c * c * 9    # naive-equivalent FLOPs
+            iters = max(2, min(16, 2 ** 22 // (h * w)))
+            time_scan(f"up naive {h}x{w}x{c}", f_naive, x, iters, flops=fl)
+            time_scan(f"up fused {h}x{w}x{c}", f_fused, x, iters, flops=fl)
+
+    if "vaedec" in PARTS:
+        from pcdms_tpu.models.vae import VAEConfig, vae_init, vae_decode
+        vp = cast_pytree(vae_init(jax.random.PRNGKey(2)), jnp.bfloat16)
+        z = jax.random.normal(key, (B, 64, 128, 4), jnp.bfloat16)
+
+        def f(z):
+            img = vae_decode(vp, z)
+            # reduce back to latent shape to keep the scan carry small
+            return z + jnp.mean(img).astype(z.dtype)
+
+        time_scan("vae decode 64x128 latents (512x1024 img)", f, z, 2)
+
+    if "sched" in PARTS:
+        # DDIM update glue: everything in the sampler step EXCEPT the
+        # UNet call (CFG mix + rescale + scheduler elementwise update)
+        lat = jax.random.normal(key, (B, 64, 128, 4), jnp.bfloat16)
+
+        def f(lat):
+            eps_pair = jnp.concatenate([lat * 0.9, lat * 1.1], axis=0)
+            uncond, cond = jnp.split(eps_pair, 2, axis=0)
+            eps = uncond + 2.0 * (cond - uncond)
+            a_t, a_prev = jnp.bfloat16(0.9), jnp.bfloat16(0.8)
+            x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+
+        time_scan("scheduler glue (CFG mix + DDIM update)", f, lat, 32,
+                  bytes_moved=6 * lat.size * 2)
+
     if "ln" in PARTS:
         from pcdms_tpu.nn.layers import layer_norm_init, layer_norm_apply
         h, w, c = levels[0]

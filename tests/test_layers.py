@@ -117,3 +117,38 @@ class TestUpsample:
                                              mode="nearest")
         ty = ty.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(_np(y), ty, atol=1e-6)
+
+    def test_fused_upsample_conv_matches_naive(self):
+        """upsample2x_conv3x3 (phase-decomposed, 16/36 MACs) must equal
+        conv3x3(nearest_2x(x)) — the composition torch computes in the
+        diffusers Upsample2D the UNet/VAE mirror (PAD1, SAME semantics),
+        including at the zero-padded borders."""
+        for i, (h, w, ci, co) in enumerate(
+                [(4, 6, 8, 8), (3, 5, 4, 7), (1, 1, 2, 3)]):
+            p = L.conv2d_init(jax.random.PRNGKey(i), ci, co, 3)
+            x = jax.random.normal(jax.random.PRNGKey(i + 10),
+                                  (2, h, w, ci))
+            ref = L.conv2d_apply(p, L.nearest_upsample_2x(x),
+                                 padding=[(1, 1), (1, 1)])
+            got = L.upsample2x_conv3x3(p, x)
+            np.testing.assert_allclose(_np(got), _np(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_fused_upsample_conv_grads(self):
+        """Training runs through the upsamplers — grads must match the
+        naive composition's."""
+        p = L.conv2d_init(jax.random.PRNGKey(0), 4, 4, 3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3, 4))
+
+        def loss_fused(p, x):
+            return jnp.sum(L.upsample2x_conv3x3(p, x) ** 2)
+
+        def loss_naive(p, x):
+            y = L.conv2d_apply(p, L.nearest_upsample_2x(x),
+                               padding=[(1, 1), (1, 1)])
+            return jnp.sum(y ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+        gn = jax.grad(loss_naive, argnums=(0, 1))(p, x)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            _np(a), _np(b), rtol=1e-4, atol=1e-5), gf, gn)
