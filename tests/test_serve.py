@@ -368,6 +368,62 @@ class TestStage2Service:
                            scheduler="lcm")
 
 
+class TestShapeRouter:
+    """Serving shape policy: engines are compiled per (resolution, steps)
+    configuration; a multi-resolution deployment routes by canvas shape
+    and REJECTS out-of-policy shapes with ValueError -> HTTP 400 instead
+    of recompiling (serve/router.py)."""
+
+    def test_routes_by_canvas_and_rejects_unknown(self, s2_params):
+        # second config = same height, 2x width (the tiny UNet's 3
+        # downsample levels need latent height >= 8, i.e. image >= 64px)
+        from pcdms_tpu.serve.router import ShapeRouter
+        svc_wide = make_service(s2_params, height=H, width=2 * W)
+        svc_std = make_service(s2_params, height=H, width=W)
+        with ShapeRouter([svc_wide, svc_std]) as router:
+            assert router.canvases == [(H, 2 * W), (H, 4 * W)]
+
+            # standard request -> the (H, 2W)-canvas service
+            std = request_inputs(0)
+            out_std = np.asarray(router.submit(**std).result(60))
+            assert out_std.shape == (H, 2 * W, 3)
+
+            # wide request -> the (H, 4W)-canvas service
+            wide = dict(std)
+            rng = np.random.default_rng(0)
+            wide["vae_image"] = rng.uniform(
+                -1, 1, (H, 4 * W, 3)).astype(np.float32)
+            wide["st_pose"] = rng.uniform(
+                -1, 1, (H, 4 * W, 3)).astype(np.float32)
+            out_wide = np.asarray(router.submit(**wide).result(60))
+            assert out_wide.shape == (H, 4 * W, 3)
+
+            # out-of-policy canvas: rejected by the ROUTER (no engine
+            # ever sees it, nothing recompiles)
+            bad = dict(std)
+            bad["vae_image"] = np.zeros((48, 96, 3), np.float32)
+            with pytest.raises(ValueError,
+                               match="no service for canvas"):
+                router.submit(**bad)
+
+            st = router.stats()
+            assert st[f"{H}x{4 * W}"]["completed"] == 1
+            assert st[f"{H}x{2 * W}"]["completed"] == 1
+
+    def test_duplicate_canvas_rejected(self, s2_params):
+        """Two configs at one resolution (e.g. different step counts)
+        cannot share a router — the canvas key would be ambiguous."""
+        from pcdms_tpu.serve.router import ShapeRouter
+        a = make_service(s2_params, num_steps=1)
+        b = make_service(s2_params, num_steps=2)
+        try:
+            with pytest.raises(ValueError, match="duplicate service"):
+                ShapeRouter([a, b])
+        finally:
+            a.close()
+            b.close()
+
+
 class TestServeCLI:
     """build_service wires configs/params/services like the other CLIs'
     mains; drive it at tiny geometry for both models."""
