@@ -1,0 +1,150 @@
+"""Quality drift of the approximate fast sampling paths vs the exact
+sampler, on synthetic weights at the real stage-2 geometry.
+
+The fast paths (`encoder_cache_interval > 1` encoder propagation,
+4-step LCM consistency sampling) report throughput in PERF.md; this
+script quantifies how far each one's OUTPUT drifts from the exact
+50-step DDIM sampler under identical conditions — same random weights,
+same inputs, same initial latents, posterior-mean VAE. For calibration
+the table includes two LEGITIMATE sampler swaps (20-step UniPC — the
+reference's own batch-test protocol, stage2_batchtest_inpaint_model.py
+— and 20-step DDIM): an approximation whose drift is comparable to a
+sampler swap users already accept is operating in a safe regime.
+
+Metrics, per variant vs the exact reference:
+  PSNR   on the decoded [-1, 1] images (data range 2.0)
+  cosine of the flattened image tensors
+
+For LCM, the student is `init_student_from_teacher` with the zero-init
+w-projection, so its function EQUALS the teacher's — the number
+measures pure sampler-structure drift (a real distilled student only
+improves on it). Synthetic-weight caveat: a random UNet's eps field is
+rougher than a trained one's, so these drifts are a conservative proxy;
+trained-checkpoint FID validation stays gated on released weights
+(PARITY.md).
+
+Usage: PYTHONPATH=. python scripts/fastpath_drift.py [--tiny] [--height 512]
+"""
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(a, b, data_range=2.0):
+    mse = float(jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32))
+                         ** 2))
+    return 10.0 * np.log10(data_range ** 2 / mse)
+
+
+def cosine(a, b):
+    a = np.ravel(np.asarray(a, np.float64))
+    b = np.ravel(np.asarray(b, np.float64))
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny configs (CPU smoke of the harness itself)")
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--exact_steps", type=int, default=50)
+    args = ap.parse_args()
+
+    from pcdms_tpu.models.projections import (
+        image_proj_mlp_init, pose_cond_embedding_init,
+    )
+    from pcdms_tpu.models.unet2d import stage2_unet_config, unet_init
+    from pcdms_tpu.models.vae import VAEConfig, vae_init
+    from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
+    from pcdms_tpu.train.lcm_distill import init_student_from_teacher
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    if args.tiny:
+        from pcdms_tpu.cli.common import tiny_configs
+        t = tiny_configs()
+        unet_cfg, vae_cfg = t.unet2(True), t.vae
+        ip_kw, pp_kw = t.image_proj_kwargs, t.pose_proj_kwargs
+        dino_shape = (5, t.dino.hidden_size)
+        embed_dim = t.clip.projection_dim
+        height = 64
+    else:
+        unet_cfg, vae_cfg = stage2_unet_config(), VAEConfig()
+        ip_kw, pp_kw = {}, {}
+        dino_shape, embed_dim = (257, 1536), 1024
+        height = args.height
+    width = 2 * height
+    b = args.batch
+
+    def bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, tree)
+
+    params = {
+        "unet": bf16(unet_init(ks[0], unet_cfg)),
+        "image_proj": bf16(image_proj_mlp_init(ks[1], **ip_kw)),
+        "pose_proj": bf16(pose_cond_embedding_init(ks[2], **pp_kw)),
+        "vae": bf16(vae_init(ks[3], vae_cfg)),
+    }
+
+    vae_image = jax.random.uniform(ks[4], (b, height, width, 3),
+                                   jnp.float32, -1, 1)
+    st_pose = jax.random.uniform(ks[5], (b, height, width, 3),
+                                 jnp.float32, -1, 1)
+    dino = jax.random.normal(ks[6], (b,) + dino_shape, jnp.float32)
+    t_embed = jax.random.normal(ks[7], (b, 1, embed_dim), jnp.float32)
+    latents = jax.random.normal(jax.random.PRNGKey(42),
+                                (b, height // 8, width // 8, 4),
+                                jnp.float32)
+    rng = jax.random.PRNGKey(7)
+
+    def gen(steps, scheduler="ddim", interval=1, cfg=unet_cfg, p=params):
+        return np.asarray(stage2_generate(
+            p, vae_image, st_pose, dino, t_embed, rng, latents=latents,
+            unet_cfg=cfg, vae_cfg=vae_cfg, num_steps=steps,
+            guidance_scale=2.0, scheduler=scheduler,
+            encoder_cache_interval=interval, deterministic_vae=True))
+
+    t0 = time.time()
+    exact = gen(args.exact_steps)
+    print(f"# exact DDIM {args.exact_steps}-step reference done "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    variants = [
+        ("UniPC 20 (reference batch-test protocol)",
+         lambda: gen(20, scheduler="unipc")),
+        ("DDIM 20", lambda: gen(20)),
+        ("enc-prop interval 2 (DDIM 50)", lambda: gen(args.exact_steps,
+                                                      interval=2)),
+        ("enc-prop interval 3 (DDIM 50)", lambda: gen(args.exact_steps,
+                                                      interval=3)),
+    ]
+
+    # LCM 4-step: teacher-equal student (zero-init w projection)
+    lcm_cfg = dataclasses.replace(unet_cfg, time_cond_proj_dim=256)
+    student = bf16(init_student_from_teacher(
+        jax.random.PRNGKey(9), params["unet"], lcm_cfg))
+    lcm_params = dict(params, unet=student)
+    variants.append(
+        ("LCM 4-step (teacher-equal student, undistilled floor)",
+         lambda: gen(4, scheduler="lcm", cfg=lcm_cfg, p=lcm_params)))
+
+    print(f"\n| variant | PSNR vs exact (dB) | cosine |")
+    print(f"|---|---|---|")
+    for name, fn in variants:
+        t0 = time.time()
+        out = fn()
+        print(f"| {name} | {psnr(exact, out):.2f} | "
+              f"{cosine(exact, out):.4f} |   <!-- {time.time()-t0:.0f}s -->",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
