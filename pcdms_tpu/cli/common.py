@@ -173,10 +173,25 @@ def per_item_latents(seed, global_indices, num_samples, shape):
 
 
 def save_images(images, paths):
-    """images: (N, H, W, 3) float in [-1, 1] -> PNG files."""
+    """images: (N, H, W, 3) float in [-1, 1] (or already-quantized uint8,
+    passed through) -> PNG files."""
     import numpy as np
     from PIL import Image
     arr = np.asarray(images)
-    arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    if arr.dtype != np.uint8:
+        arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
     for img, path in zip(arr, paths):
         Image.fromarray(img).save(path)
+
+
+@jax.jit
+def device_uint8(images):
+    """Quantize [-1, 1] float images to uint8 ON DEVICE before host
+    readback — 4x less device->host transfer, and exactly what the
+    saved PNG holds anyway. The reference's own best-of-N SSIM also
+    operates on uint8-derived PIL data
+    (stage2_batchtest_inpaint_model.py:212-225), so selecting on the
+    quantized candidates is protocol-faithful, not an approximation.
+    Uses the same clip->truncate formula as save_images."""
+    x = (images.astype(jnp.float32) + 1.0) * 127.5
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)

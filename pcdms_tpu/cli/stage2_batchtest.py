@@ -69,13 +69,18 @@ def parse_args(argv=None):
 
 
 def best_of_n_ssim(candidates: np.ndarray, gt: np.ndarray) -> int:
-    """candidates: (N, H, W, 3) in [-1,1]; gt: (H, W, 3) in [-1,1].
-    Returns the index with the best SSIM (reference
-    stage2_batchtest_inpaint_model.py:212-225)."""
+    """candidates: (N, H, W, 3) uint8 (device-quantized readback) or
+    float in [-1,1]; gt: (H, W, 3) in [-1,1]. Returns the index with the
+    best SSIM (reference stage2_batchtest_inpaint_model.py:212-225 —
+    which likewise scores uint8-derived PIL pixels)."""
     from pcdms_tpu.eval.metrics import compare_ssim
     gt01 = (gt + 1.0) / 2.0
-    scores = [compare_ssim((c + 1.0) / 2.0, gt01, data_range=1.0,
-                           win_size=7) for c in candidates]
+    if candidates.dtype == np.uint8:
+        cands01 = candidates.astype(np.float32) / 255.0
+    else:
+        cands01 = (candidates + 1.0) / 2.0
+    scores = [compare_ssim(c, gt01, data_range=1.0, win_size=7)
+              for c in cands01]
     return int(np.argmax(scores))
 
 
@@ -219,7 +224,8 @@ def main(argv=None):
             num_samples=args.num_images_per_prompt,
             encoder_cache_interval=args.encoder_cache_interval,
             **gen_kwargs)
-        images = np.asarray(images)
+        from pcdms_tpu.cli.common import device_uint8
+        images = np.asarray(device_uint8(images))
 
         w = args.img_width
         for i, item in enumerate(chunk):

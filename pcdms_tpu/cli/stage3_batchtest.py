@@ -135,7 +135,11 @@ def main(argv=None):
             num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, scheduler=args.scheduler,
             num_samples=args.num_images_per_prompt, **gen_kwargs)
-        images = np.asarray(images)
+        from pcdms_tpu.cli.common import device_uint8
+        images = np.asarray(device_uint8(images))
+
+        def _u8(x):
+            return np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8)
 
         for i, item in enumerate(chunk):
             cands = images[i::n]
@@ -148,7 +152,8 @@ def main(argv=None):
                 src_img = to_neg1_1(load_image(
                     pairs.image_path(item["source_image"]), size))
                 grid = np.concatenate(
-                    [src_img, host_gen[i], cands[best], gt_imgs[i]], axis=1)
+                    [_u8(src_img), _u8(host_gen[i]), cands[best],
+                     _u8(gt_imgs[i])], axis=1)
                 save_images(grid[None],
                             [os.path.join(args.save_path,
                                           f"grid_{s}_to_{t}.png")])
