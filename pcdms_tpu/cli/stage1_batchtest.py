@@ -93,6 +93,25 @@ def main(argv=None):
     sims = []
     bs = args.batch_size
     items = pairs.pairs
+
+    def finish(pending):
+        """Read back + save one batch, deferred one batch behind
+        dispatch so the .npy writes and the next batch's PIL/CLIP prep
+        overlap the device sampling (same pipelining as
+        stage2_batchtest)."""
+        chunk, dev_pred, dev_t_embed, start, n = pending
+        pred = np.asarray(dev_pred)[:n]
+        for i, item in enumerate(chunk):
+            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+            np.save(os.path.join(args.save_path, f"{s}_to_{t}.npy"),
+                    pred[i:i + 1])
+        sims.extend(cosine_similarity(
+            pred, np.asarray(dev_t_embed)[:n]).tolist())
+        logger.info("processed %d/%d", min(start + bs, len(items)),
+                    len(items))
+
+    pending = None
     for start in range(0, len(items), bs):
         chunk = items[start:start + bs]
         n = len(chunk)
@@ -119,18 +138,12 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed + start),
             prior_cfg=prior_cfg, num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale)
-        pred = np.asarray(pred)[:n]
+        if pending is not None:
+            finish(pending)
+        pending = (chunk, pred, t_embed, start, n)
 
-        for i, item in enumerate(chunk):
-            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
-            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
-            np.save(os.path.join(args.save_path, f"{s}_to_{t}.npy"),
-                    pred[i:i + 1])
-        sims.extend(cosine_similarity(
-            pred, np.asarray(t_embed)[:n]).tolist())
-        logger.info("processed %d/%d", min(start + bs, len(items)),
-                    len(items))
-
+    if pending is not None:
+        finish(pending)
     mean_sim = float(np.mean(sims))
     elapsed = time.time() - t0
     logger.info("mean cosine similarity: %.5f (%.1fs)", mean_sim, elapsed)

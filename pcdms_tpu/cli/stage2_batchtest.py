@@ -162,6 +162,29 @@ def main(argv=None):
     t0 = time.time()
     items = pairs.pairs
     bs = args.batch_size
+
+    def finish(pending):
+        """Read back + select + save one batch (blocks on the device).
+
+        Deferred one batch behind dispatch so SSIM selection, PNG writes
+        and the next batch's host prep all overlap the device sampling
+        the reference serializes (stage2_batchtest_inpaint_model.py:
+        188-225 runs prep -> sample -> select strictly in sequence)."""
+        chunk, dev_images, t_imgs, start, n = pending
+        images = np.asarray(dev_images)
+        w = args.img_width
+        for i, item in enumerate(chunk):
+            cands = images[i::n][:, :, w:, :]       # right halves
+            gt = to_neg1_1(t_imgs[i])
+            best = best_of_n_ssim(cands, gt)
+            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+            save_images(cands[best:best + 1],
+                        [os.path.join(args.save_path, f"{s}_to_{t}.png")])
+        logger.info("processed %d/%d", min(start + bs, len(items)),
+                    len(items))
+
+    pending = None
     for start in range(0, len(items), bs):
         chunk = items[start:start + bs]
         s_imgs = [load_image(pairs.image_path(i["source_image"]), size)
@@ -225,20 +248,13 @@ def main(argv=None):
             encoder_cache_interval=args.encoder_cache_interval,
             **gen_kwargs)
         from pcdms_tpu.cli.common import device_uint8
-        images = np.asarray(device_uint8(images))
+        dev_images = device_uint8(images)       # async dispatch, no block
+        if pending is not None:
+            finish(pending)
+        pending = (chunk, dev_images, t_imgs, start, n)
 
-        w = args.img_width
-        for i, item in enumerate(chunk):
-            cands = images[i::n][:, :, w:, :]       # right halves
-            gt = to_neg1_1(t_imgs[i])
-            best = best_of_n_ssim(cands, gt)
-            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
-            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
-            save_images(cands[best:best + 1],
-                        [os.path.join(args.save_path, f"{s}_to_{t}.png")])
-        logger.info("processed %d/%d", min(start + bs, len(items)),
-                    len(items))
-
+    if pending is not None:
+        finish(pending)
     logger.info("done in %.1fs", time.time() - t0)
 
 

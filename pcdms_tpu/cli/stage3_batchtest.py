@@ -107,6 +107,36 @@ def main(argv=None):
     t0 = time.time()
     items = pairs.pairs
     bs = args.batch_size
+
+    def _u8(x):
+        return np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+    def finish(pending):
+        """Read back + select + save one batch, deferred one batch
+        behind dispatch so the host work overlaps device sampling
+        (same pipelining as stage2_batchtest)."""
+        chunk, dev_images, host_gen, gt_imgs, start, n = pending
+        images = np.asarray(dev_images)
+        for i, item in enumerate(chunk):
+            cands = images[i::n]
+            best = best_of_n_ssim(cands, gt_imgs[i])
+            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
+            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
+            save_images(cands[best:best + 1],
+                        [os.path.join(args.save_path, f"{s}_to_{t}.png")])
+            if args.grid_output:
+                src_img = to_neg1_1(load_image(
+                    pairs.image_path(item["source_image"]), size))
+                grid = np.concatenate(
+                    [_u8(src_img), _u8(host_gen[i]), cands[best],
+                     _u8(gt_imgs[i])], axis=1)
+                save_images(grid[None],
+                            [os.path.join(args.save_path,
+                                          f"grid_{s}_to_{t}.png")])
+        logger.info("processed %d/%d", min(start + bs, len(items)),
+                    len(items))
+
+    pending = None
     for start in range(0, len(items), bs):
         chunk = items[start:start + bs]
         host_gen = np.stack([
@@ -136,30 +166,13 @@ def main(argv=None):
             guidance_scale=args.guidance_scale, scheduler=args.scheduler,
             num_samples=args.num_images_per_prompt, **gen_kwargs)
         from pcdms_tpu.cli.common import device_uint8
-        images = np.asarray(device_uint8(images))
+        dev_images = device_uint8(images)       # async dispatch, no block
+        if pending is not None:
+            finish(pending)
+        pending = (chunk, dev_images, host_gen, gt_imgs, start, n)
 
-        def _u8(x):
-            return np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8)
-
-        for i, item in enumerate(chunk):
-            cands = images[i::n]
-            best = best_of_n_ssim(cands, gt_imgs[i])
-            s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
-            t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
-            save_images(cands[best:best + 1],
-                        [os.path.join(args.save_path, f"{s}_to_{t}.png")])
-            if args.grid_output:
-                src_img = to_neg1_1(load_image(
-                    pairs.image_path(item["source_image"]), size))
-                grid = np.concatenate(
-                    [_u8(src_img), _u8(host_gen[i]), cands[best],
-                     _u8(gt_imgs[i])], axis=1)
-                save_images(grid[None],
-                            [os.path.join(args.save_path,
-                                          f"grid_{s}_to_{t}.png")])
-        logger.info("processed %d/%d", min(start + bs, len(items)),
-                    len(items))
-
+    if pending is not None:
+        finish(pending)
     logger.info("done in %.1fs", time.time() - t0)
 
 
