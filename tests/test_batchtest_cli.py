@@ -53,6 +53,7 @@ def _mesh_of(n):
 
 
 class TestStage1CLISharded:
+    pytestmark = pytest.mark.slow
     def _run(self, monkeypatch, dataset, out_dir, n_dev):
         from pcdms_tpu.cli.stage1_batchtest import main
         root, json_path = dataset
@@ -75,6 +76,7 @@ class TestStage1CLISharded:
 
 
 class TestStage2CLISharded:
+    pytestmark = pytest.mark.slow
     def _run(self, monkeypatch, dataset, out_dir, n_dev):
         from pcdms_tpu.cli.stage2_batchtest import main
         root, json_path = dataset
@@ -102,6 +104,7 @@ class TestStage2CLISharded:
 
 
 class TestStage3CLISharded:
+    pytestmark = pytest.mark.slow
     def _run(self, monkeypatch, dataset, gen_dir, out_dir, n_dev):
         from pcdms_tpu.cli.stage3_batchtest import main
         root, json_path = dataset

@@ -160,6 +160,7 @@ class TestUNetConverter:
         expected = unet_init(jax.random.PRNGKey(0), UNET_CFG)
         assert tree_spec(converted) == tree_spec(expected)
 
+    @pytest.mark.slow
     def test_converted_forward_runs(self):
         converted = convert_unet(synth_unet_sd(UNET_CFG))
         out = unet_apply(converted, UNET_CFG, jnp.zeros((1, 64, 64, 9)),

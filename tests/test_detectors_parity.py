@@ -22,6 +22,8 @@ import torch.nn.functional as F  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=2e-4, rtol=2e-4)
 
 

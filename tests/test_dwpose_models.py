@@ -23,6 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 from pcdms_tpu.pose.detectors import rtmpose as rp  # noqa: E402
 from pcdms_tpu.pose.detectors import yolox as yx  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=5e-4, rtol=5e-4)
 
 

@@ -21,6 +21,8 @@ from pcdms_tpu.models.unet2d import (
 from pcdms_tpu.models.vae import VAEConfig, vae_init
 from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
 
+pytestmark = pytest.mark.slow
+
 UNET_CFG = UNetConfig(in_channels=9, block_out_channels=(8, 16, 16, 16),
                       layers_per_block=1, cross_attention_dim=16,
                       head_dim=8, class_embed_proj_dim=16, norm_groups=4,

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from pcdms_tpu.eval.inception import convert_inception, inception_pool3
 from pcdms_tpu.eval.lpips import convert_lpips, lpips_distance
 
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 # ---------------------------------------------------------------- units ---

@@ -190,6 +190,7 @@ def tiny_batch(b=2, h=64, w=128, rng_seed=0):
 
 
 class TestDistillLoss:
+    pytestmark = pytest.mark.slow
     def test_loss_descends_on_fixed_objective(self):
         from pcdms_tpu.train.common import (
             TrainConfig, init_train_state, make_train_step,
@@ -228,6 +229,7 @@ class TestDistillLoss:
 
 
 class TestLcmCli:
+    pytestmark = pytest.mark.slow
     def test_main_tiny_synthetic(self, tmp_path, caplog):
         from pcdms_tpu.cli.lcm_distill import main
         from pcdms_tpu.train import checkpoint as ckpt

@@ -20,6 +20,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from pcdms_tpu.pose.detectors import leres_boost as lb  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 class TorchUnetBlock(nn.Module):
     def __init__(self, outer, inner, input_nc=None, submodule=None,

@@ -18,6 +18,8 @@ from PIL import Image
 from pcdms_tpu.cli.calculate_metrics import main, parse_args
 from test_inception_lpips_parity import build_inception_sd, build_lpips_sd
 
+pytestmark = pytest.mark.slow
+
 TARGETS = ["ta.png", "tb.png", "tc.png"]
 
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from pcdms_tpu.pose.detectors import midas as md  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=1e-3, rtol=1e-3)
 
 

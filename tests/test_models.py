@@ -27,6 +27,7 @@ TINY_UNET = UNetConfig(
 
 
 class TestUNet:
+    pytestmark = pytest.mark.slow
     def test_forward_shapes_stage2(self):
         key = jax.random.PRNGKey(0)
         params = unet_init(key, TINY_UNET)

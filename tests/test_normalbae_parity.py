@@ -18,6 +18,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from pcdms_tpu.pose.detectors import normalbae as nb  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=1e-3, rtol=1e-3)
 BN_EPS = 1e-3
 

@@ -30,6 +30,8 @@ from pcdms_tpu.pose.detectors.openpose import (  # noqa: E402
     hand_apply, OpenposeDetector, bilinear_align_corners, pad_right_down,
 )
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=2e-4, rtol=2e-4)
 
 

@@ -84,6 +84,7 @@ class TestStage1Pipeline:
         assert out1.shape == (B, 16)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
+    @pytest.mark.slow
     def test_seeds_batch_composition_invariance(self, models):
         """seeds= derives init + ancestral noise per row: a row's
         trajectory is independent of batch size/position and of rng."""
@@ -148,6 +149,7 @@ class TestStage2Pipeline:
 
 
 class TestStage2Variants:
+    pytestmark = pytest.mark.slow
     """eta>0 DDIM, FreeU, and the LCM guidance-embedding variant exercised
     through the full stage-2 pipeline (not just standalone loops):
     finite, correctly shaped, and different from the default path."""
@@ -213,6 +215,7 @@ class TestStage3Pipeline:
 
 
 class TestCascade:
+    pytestmark = pytest.mark.slow
     def test_full_chain(self, models):
         k = jax.random.PRNGKey(11)
         out = cascade_generate(

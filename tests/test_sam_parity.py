@@ -23,6 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 from pcdms_tpu.pose.detectors import sam as sm  # noqa: E402
 from pcdms_tpu.pose.detectors import sam_amg as amg  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=2e-3, rtol=2e-3)
 
 # a small-but-real config: 2 blocks (one windowed, one global), ViT-B dims

@@ -267,6 +267,7 @@ def request_inputs(i, seed=0):
 
 
 class TestStage2Service:
+    pytestmark = pytest.mark.slow
     def test_batch_invariance(self, s2_params):
         """The determinism contract: a request's output is identical
         whether it runs alone (bucket 1) or packed with other requests
@@ -425,6 +426,7 @@ class TestShapeRouter:
 
 
 class TestServeCLI:
+    pytestmark = pytest.mark.slow
     """build_service wires configs/params/services like the other CLIs'
     mains; drive it at tiny geometry for both models."""
 

@@ -92,6 +92,7 @@ def stage2_params():
 
 
 class TestStage2Training:
+    pytestmark = pytest.mark.slow
     def test_loss_step(self):
         params, vae = stage2_params()
         loss_fn = stage2_loss_fn(UNET_CFG, vae, vae_cfg=VAE_CFG,
@@ -109,6 +110,7 @@ class TestStage2Training:
 
 
 class TestStage3Training:
+    pytestmark = pytest.mark.slow
     def test_loss_step(self):
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         params = {"unet": unet_init(ks[0], UNET3_CFG),
@@ -314,6 +316,7 @@ class TestEMA:
             np.testing.assert_allclose(np.asarray(b), a, rtol=2e-5,
                                        atol=1e-6)
 
+    @pytest.mark.slow
     def test_ema_on_mesh_with_zero1_and_checkpoint(self, tmp_path):
         from pcdms_tpu.train import checkpoint as ckpt
         from pcdms_tpu.train.common import ema_params, shard_train_state
@@ -395,6 +398,7 @@ class TestCheckpoint:
         from pcdms_tpu.train import checkpoint as ckpt
         assert ckpt.latest_step(str(tmp_path / "missing")) is None
 
+    @pytest.mark.slow
     def test_mesh_sharded_zero1_resume_parity(self, tmp_path):
         """Save a ZeRO-1-sharded state mid-run on the 8-device mesh,
         restore into a fresh (unsharded) ``init_train_state`` template,

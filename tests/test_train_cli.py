@@ -19,6 +19,8 @@ from PIL import Image
 
 from pcdms_tpu.train import checkpoint as ckpt
 
+pytestmark = pytest.mark.slow
+
 
 def _losses_from_log(caplog):
     out = []

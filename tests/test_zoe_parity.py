@@ -22,6 +22,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from pcdms_tpu.pose.detectors import zoe as zz  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TOL = dict(atol=2e-3, rtol=2e-3)
 
 
