@@ -26,3 +26,15 @@ assert jax.default_backend() == "cpu", (
     f"could force it (got {jax.default_backend()})")
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()}")
+
+# The suite is XLA-compile-dominated (hundreds of tiny-model jits), so a
+# persistent compilation cache cuts warm reruns several-fold. Keyed by
+# backend+topology+graph, so the 8-device CPU mesh caches consistently.
+# Opt out with PCDMS_TEST_COMPILE_CACHE=off (e.g. when bisecting XLA).
+_cache_dir = os.environ.get(
+    "PCDMS_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
