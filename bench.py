@@ -145,6 +145,13 @@ def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42):
     import jax
     from pcdms_tpu.cli.stage2_batchtest import main as batchtest_main
 
+    # The CLI shards pairs by jax.process_index(); this single tempdir +
+    # the n_out assert below only describe one process's shard, so the
+    # mode is single-process-only by construction.
+    assert jax.process_count() == 1, (
+        "BENCH_E2E measures a single-process run; on a multi-host slice "
+        "each process writes only its pair shard. Run it on one host.")
+
     emb_dim = 1024
     if tiny:
         from pcdms_tpu.cli.common import tiny_configs

@@ -179,7 +179,10 @@ def save_images(images, paths):
     from PIL import Image
     arr = np.asarray(images)
     if arr.dtype != np.uint8:
-        arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        # round-to-nearest, matching diffusers numpy_to_pil's
+        # (x * 255).round().astype(uint8) so PNGs are bit-parity with
+        # the reference pipeline's outputs
+        arr = np.rint(np.clip((arr + 1.0) * 127.5, 0, 255)).astype(np.uint8)
     for img, path in zip(arr, paths):
         Image.fromarray(img).save(path)
 
@@ -192,6 +195,7 @@ def device_uint8(images):
     operates on uint8-derived PIL data
     (stage2_batchtest_inpaint_model.py:212-225), so selecting on the
     quantized candidates is protocol-faithful, not an approximation.
-    Uses the same clip->truncate formula as save_images."""
+    Same round-to-nearest formula as save_images (diffusers
+    numpy_to_pil rounds; truncation would sit 1 LSB low)."""
     x = (images.astype(jnp.float32) + 1.0) * 127.5
-    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+    return jnp.round(jnp.clip(x, 0, 255)).astype(jnp.uint8)

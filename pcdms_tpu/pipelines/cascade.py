@@ -25,7 +25,7 @@ from pcdms_tpu.pipelines.stage3_refine import stage3_generate
 def cascade_generate(stage1_params, stage2_params, stage3_params,
                      s_embed, s_pose_coords, t_pose_coords,
                      vae_image, st_pose_image, dino_feats, rng,
-                     seeds=None, *,
+                     seeds=None, s2_latents=None, s3_latents=None, *,
                      prior_cfg: PriorConfig = PriorConfig(),
                      stage2_cfg: UNetConfig,
                      stage3_cfg: UNetConfig,
@@ -52,12 +52,21 @@ def cascade_generate(stage1_params, stage2_params, stage3_params,
         of its own inputs + seed, independent of batch composition
         (the serving layer's determinism contract). Without seeds the
         batch-shaped ``rng`` path is unchanged.
+    s2_latents / s3_latents: optional explicit initial latents
+        ((B, H/8, 2W/8, 4) and (B, H/8, W/8, 4)) overriding the
+        seed-derived ones — the serving layer passes host-Philox
+        latents here so a seed yields the same stage-2 image under
+        ``CascadeService`` as under ``Stage2Service`` (one derivation
+        across services). Require ``seeds`` (for the stage-1 draws).
     Returns dict with 'embeds', 'inpainted' (full canvas), 'refined'
     (target half, refined).
     """
     r1, r2, r3 = jax.random.split(rng, 3)
     deterministic = seeds is not None
-    s2_latents = s3_latents = None
+    if (s2_latents is not None or s3_latents is not None) \
+            and not deterministic:
+        raise ValueError("explicit s2/s3 latents require seeds= (the "
+                         "stage-1 ancestral draws are seed-derived)")
     if deterministic:
         seeds = jnp.asarray(seeds, jnp.int32)
 
@@ -67,8 +76,10 @@ def cascade_generate(stage1_params, stage2_params, stage3_params,
                 jax.random.fold_in(base, s), shape, jnp.float32))(seeds)
 
         bb, hh, ww2, _ = vae_image.shape
-        s2_latents = row_latents(2, (hh // 8, ww2 // 8, 4))
-        s3_latents = row_latents(3, (hh // 8, ww2 // 16, 4))
+        if s2_latents is None:
+            s2_latents = row_latents(2, (hh // 8, ww2 // 8, 4))
+        if s3_latents is None:
+            s3_latents = row_latents(3, (hh // 8, ww2 // 16, 4))
 
     embeds = stage1_generate(
         stage1_params, s_embed, s_pose_coords, t_pose_coords, r1,

@@ -29,12 +29,14 @@ only ``scheduler in {"unipc", "ddim"}`` (eta=0 DDIM; the constructors
 reject anything else — e.g. ``lcm``, whose ancestral noise is drawn
 from the batch rng, not the request seed).
 
-Seeds are SERVICE-LOCAL: the two services derive initial latents
-differently (Stage2Service host-side via numpy Philox,
-``_request_latents``; CascadeService on-device via
-``fold_in(PRNGKey, seed)`` inside ``cascade_generate``), so the same
-seed is deterministic within each service but does not produce the
-same stage-2 image across ``--model stage2`` and ``--model cascade``.
+Seeds are PORTABLE across services: both derive the stage-2 initial
+latents host-side from the request seed with the same numpy Philox
+stream (``_request_latents(seed)``; CascadeService passes them into
+``cascade_generate(s2_latents=...)``, stage-3 uses the ``[seed, 3]``
+stream). So a request seed means one thing in the deployment: feeding
+a cascade's predicted embedding to a ``--model stage2`` service with
+the same seed reproduces the cascade's stage-2 image (up to the fp
+rounding of its batch bucket) — tested in tests/test_serve.py.
 """
 
 from __future__ import annotations
@@ -68,11 +70,17 @@ def _check_scheduler(scheduler: str) -> str:
     return scheduler
 
 
-def _request_latents(seed: int, lh: int, lw: int) -> np.ndarray:
+def _request_latents(seed: int, lh: int, lw: int,
+                     stage: int = 2) -> np.ndarray:
     """Per-request initial noise from the request seed (host-side numpy
-    Philox — stable across processes, independent of batching)."""
-    return np.random.default_rng(seed).standard_normal(
-        (lh, lw, 4), dtype=np.float32)
+    Philox — stable across processes, independent of batching). This is
+    THE seed->latents derivation for every service: stage 2 is the
+    plain ``default_rng(seed)`` stream (so seeds are portable between
+    Stage2Service and CascadeService), other stages get the
+    ``[seed, stage]`` substream."""
+    rng = (np.random.default_rng(int(seed)) if stage == 2
+           else np.random.default_rng([int(seed), int(stage)]))
+    return rng.standard_normal((lh, lw, 4), dtype=np.float32)
 
 
 def _check(name, arr, shape):
@@ -235,12 +243,24 @@ class CascadeService:
         self._dino_shape = (dino_tokens, dino_dim)
         self._embed_dim = embed_dim
 
+        lh, lw2 = height // 8, (2 * width) // 8
+
         def batch_fn(batch):
+            # host-Philox initial latents from the per-row seeds — the
+            # SAME derivation Stage2Service uses, so seeds are portable
+            # across --model flavors (module docstring)
+            seeds = np.asarray(batch["seed"]).reshape(-1)
+            s2_lat = np.stack(
+                [_request_latents(s, lh, lw2) for s in seeds])
+            s3_lat = np.stack(
+                [_request_latents(s, lh, lw2 // 2, stage=3)
+                 for s in seeds])
             out = cascade_generate(
                 stage1_params, stage2_params, stage3_params,
                 batch["s_embed"], batch["s_pose"], batch["t_pose"],
                 batch["vae_image"], batch["st_pose"], batch["dino"],
                 jax.random.PRNGKey(0), seeds=batch["seed"],
+                s2_latents=s2_lat, s3_latents=s3_lat,
                 prior_cfg=prior_cfg,
                 stage2_cfg=stage2_cfg, stage3_cfg=stage3_cfg,
                 vae_cfg=vae_cfg, prior_steps=steps, inpaint_steps=steps,

@@ -103,6 +103,30 @@ class TestStage2CLISharded:
             assert np.abs(a - b).max() <= 3
 
 
+class TestStage2CLIFastLane:
+    """Unmarked (fast-lane) single-run smoke of the stage-2 CLI: keeps the
+    pipelined finish()/device_uint8/best-of-N-SSIM-on-uint8 path exercised
+    by the default ``-m 'not slow'`` lane (the sharded-vs-single parity
+    matrix above stays opt-in)."""
+
+    def test_end_to_end(self, monkeypatch, tmp_path, dataset):
+        from pcdms_tpu.cli.stage2_batchtest import main
+        root, json_path = dataset
+        out_dir = str(tmp_path / "out")
+        monkeypatch.setattr(cli_common, "default_mesh", _mesh_of(8))
+        main(["--json_path", json_path, "--image_root_path", root,
+              "--save_path", out_dir, "--img_width", "64",
+              "--img_height", "64", "--num_inference_steps", "2",
+              "--num_images_per_prompt", "2", "--scheduler", "ddim",
+              "--batch_size", "3", "--random_init", "--tiny_config",
+              "--simple_variant"])
+        for s, t in PAIR_STEMS:
+            img = np.asarray(
+                Image.open(os.path.join(out_dir, f"{s}_to_{t}.png")))
+            assert img.shape == (64, 64, 3)
+            assert img.std() > 0          # not a constant canvas
+
+
 class TestStage3CLISharded:
     pytestmark = pytest.mark.slow
     def _run(self, monkeypatch, dataset, gen_dir, out_dir, n_dev):

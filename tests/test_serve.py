@@ -474,6 +474,40 @@ class TestServeCLI:
         finally:
             svc.close()
 
+    def test_seed_portable_across_services(self):
+        """One seed derivation across --model flavors: feeding a
+        cascade's predicted embedding to a stage-2 service with the
+        SAME seed reproduces the cascade's stage-2 image
+        (serve/stage2.py module docstring; VERDICT r4 #6)."""
+        from pcdms_tpu.cli.serve import build_service
+        r = request_inputs(0)
+        rng = np.random.default_rng(0)
+        seed = 7
+
+        svc = build_service(self._args("--model", "cascade"))
+        try:
+            out = svc.submit(
+                s_embed=rng.normal(size=(16,)).astype(np.float32),
+                s_pose=np.full((36,), 0.4, np.float32),
+                t_pose=np.full((36,), 0.6, np.float32),
+                vae_image=r["vae_image"], st_pose=r["st_pose"],
+                dino_features=r["dino_features"], seed=seed).result(300)
+        finally:
+            svc.close()
+
+        svc = build_service(self._args("--model", "stage2"))
+        try:
+            img = svc.submit(
+                vae_image=r["vae_image"], st_pose=r["st_pose"],
+                dino_features=r["dino_features"],
+                embed=np.asarray(out["embeds"]).ravel(),
+                seed=seed).result(300)
+        finally:
+            svc.close()
+        np.testing.assert_allclose(np.asarray(img),
+                                   np.asarray(out["inpainted"]),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestHTTP:
     def test_server_end_to_end(self, s2_params):
