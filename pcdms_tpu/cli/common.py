@@ -76,6 +76,14 @@ def add_common_train_flags(p: argparse.ArgumentParser):
                         "stage1/2/3); 0 = fetch inline, -1 (default) = "
                         "auto (min(8, cpu_count); 0 on 1-core hosts). "
                         "The batch stream is identical for any value")
+    p.add_argument("--frozen_dir", type=str, default=None,
+                   help="frozen-encoder bundle dir (train/frozen.py): "
+                        "load VAE/CLIP/DINOv2 params from it if it "
+                        "exists, else save the built ones there — so "
+                        "every stage's trainer AND the batch tests use "
+                        "the exact same frozen encoders (essential for "
+                        "--random_init/--tiny_config runs, where each "
+                        "CLI would otherwise draw its own)")
     p.add_argument("--cache_embeddings", type=str, default=None,
                    help="dir for the frozen-encoder embedding cache: "
                         "precompute CLIP/DINOv2 outputs once per dataset "

@@ -42,6 +42,14 @@ def parse_args(argv=None):
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--tiny_config", action="store_true",
                    help="tiny-geometry models (CI / CPU smoke runs)")
+    p.add_argument("--train_ckpt_dir", type=str, default=None,
+                   help="orbax checkpoint dir of a stage-1 training run "
+                        "(cli/stage1_train.py --output_dir): load the "
+                        "trained prior (EMA shadow if tracked) instead "
+                        "of a torch .pt; pair with --frozen_dir")
+    p.add_argument("--frozen_dir", type=str, default=None,
+                   help="frozen-encoder bundle the training run used "
+                        "(train/frozen.py; the trainers' --frozen_dir)")
     return p.parse_args(argv)
 
 
@@ -67,7 +75,14 @@ def main(argv=None):
         prior_cfg = PriorConfig()
         clip_cfg = clip_vit_h14_config()
     key = jax.random.PRNGKey(args.seed)
-    if args.random_init:
+    if args.train_ckpt_dir:
+        from pcdms_tpu.train.frozen import load_frozen, load_trained_params
+        if not args.frozen_dir:
+            raise SystemExit("--train_ckpt_dir needs --frozen_dir (the "
+                             "CLIP encoder the run trained against)")
+        prior = load_trained_params(args.train_ckpt_dir)
+        clip = load_frozen(args.frozen_dir)["clip"]
+    elif args.random_init:
         prior = prior_init(key, prior_cfg)
         clip = vit_init(key, clip_cfg)
     else:

@@ -42,28 +42,35 @@ def parse_args(argv=None):
 def build_models(args):
     from pcdms_tpu.models.prior_transformer import PriorConfig, prior_init
     from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
+    from pcdms_tpu.train.frozen import frozen_dir_or_build
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
+
+    def frozen_clip(build):
+        # synthetic batches never touch the frozen encoder — don't
+        # build (or load) it for benchmark runs
+        if args.synthetic_data:
+            return None
+        return frozen_dir_or_build(args.frozen_dir,
+                                   {"clip": build})["clip"]
+
     if args.tiny_config:
         from pcdms_tpu.cli.common import tiny_configs
         tiny = tiny_configs()
         prior = prior_init(k1, tiny.prior)
-        clip = None if args.synthetic_data else vit_init(k2, tiny.clip)
+        clip = frozen_clip(lambda: vit_init(k2, tiny.clip))
         return tiny.prior, prior, clip, tiny.clip
     prior_cfg = PriorConfig()
     if args.random_init:
         prior = prior_init(k1, prior_cfg)
-        clip = None if args.synthetic_data else \
-            vit_init(k2, clip_vit_h14_config())
+        clip = frozen_clip(lambda: vit_init(k2, clip_vit_h14_config()))
     else:
         from pcdms_tpu.compat.load import load_clip_vision, load_prior
         prior = (load_prior(args.prior_path) if args.prior_path
                  else prior_init(k1, prior_cfg))
-        # synthetic batches never touch the frozen encoder — don't
-        # require (or load) its checkpoint for benchmark runs
-        clip = None if args.synthetic_data else \
-            load_clip_vision(args.image_encoder_path)
+        clip = frozen_clip(
+            lambda: load_clip_vision(args.image_encoder_path))
     return prior_cfg, prior, clip, None
 
 

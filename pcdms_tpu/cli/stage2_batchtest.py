@@ -65,6 +65,15 @@ def parse_args(argv=None):
                    help="released simplified ckpt: no prior/class embed")
     p.add_argument("--tiny_config", action="store_true",
                    help="tiny-geometry models (CI / CPU smoke runs)")
+    p.add_argument("--train_ckpt_dir", type=str, default=None,
+                   help="orbax checkpoint dir of a stage-2 training run "
+                        "(cli/stage2_train.py --output_dir): load the "
+                        "trained {unet, image_proj, pose_proj} (EMA if "
+                        "tracked); pair with --frozen_dir")
+    p.add_argument("--frozen_dir", type=str, default=None,
+                   help="frozen-encoder bundle the training run used "
+                        "(train/frozen.py: vae + dino, clip for "
+                        "train-mode conditioning)")
     return p.parse_args(argv)
 
 
@@ -119,7 +128,17 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 5)
 
-    if args.random_init:
+    frozen_bundle = None
+    if args.train_ckpt_dir:
+        from pcdms_tpu.train.frozen import load_frozen, load_trained_params
+        if not args.frozen_dir:
+            raise SystemExit("--train_ckpt_dir needs --frozen_dir (the "
+                             "VAE/DINOv2 the run trained against)")
+        params = dict(load_trained_params(args.train_ckpt_dir))
+        frozen_bundle = load_frozen(args.frozen_dir)
+        params["vae"] = frozen_bundle["vae"]
+        dino = frozen_bundle["dino"]
+    elif args.random_init:
         params = {
             "unet": unet_init(ks[0], unet_cfg),
             "image_proj": image_proj_mlp_init(ks[1], **proj_kwargs),
@@ -146,7 +165,9 @@ def main(argv=None):
         # (stage2_batchtest_inpaint_model.py:176-185)
         from pcdms_tpu.models.vit import clip_vit_h14_config, vit_init
         clip_cfg = tiny.clip if args.tiny_config else clip_vit_h14_config()
-        if args.random_init:
+        if frozen_bundle is not None:
+            clip_params = frozen_bundle["clip"]
+        elif args.random_init:
             clip_params = vit_init(jax.random.PRNGKey(args.seed), clip_cfg)
         else:
             from pcdms_tpu.compat.load import load_clip_vision

@@ -73,6 +73,17 @@ def build_models(args):
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
+    from pcdms_tpu.train.frozen import frozen_dir_or_build
+
+    def frozen(vae_b, clip_b, dino_b):
+        """Resolve {vae, clip, dino} through the --frozen_dir bundle
+        (synthetic batches never touch clip/dino — skip them)."""
+        builders = {"vae": vae_b}
+        if not args.synthetic_data:
+            builders.update(clip=clip_b, dino=dino_b)
+        f = frozen_dir_or_build(args.frozen_dir, builders)
+        return f["vae"], f.get("clip"), f.get("dino")
+
     if args.tiny_config:
         from pcdms_tpu.cli.common import tiny_configs
         from pcdms_tpu.models.vit import vit_init
@@ -87,11 +98,9 @@ def build_models(args):
             "pose_proj": pose_cond_embedding_init(
                 k6, **tiny.pose_proj_kwargs),
         }
-        vae = vae_init(k2, tiny.vae)
-        clip = dino = None
-        if not args.synthetic_data:
-            clip = vit_init(k3, tiny.clip)
-            dino = vit_init(k4, tiny.dino)
+        vae, clip, dino = frozen(lambda: vae_init(k2, tiny.vae),
+                                 lambda: vit_init(k3, tiny.clip),
+                                 lambda: vit_init(k4, tiny.dino))
         aux = ModelAux(vae_cfg=tiny.vae, clip_cfg=tiny.clip,
                        dino_cfg=tiny.dino, dino_tokens=5,
                        dino_dim=tiny.dino.hidden_size,
@@ -103,14 +112,12 @@ def build_models(args):
         unet_cfg = dataclasses.replace(unet_cfg, remat=True)
 
     if args.random_init:
+        from pcdms_tpu.models.vit import vit_init
         unet = unet_init(k1, unet_cfg)
-        vae = vae_init(k2)
-        if args.synthetic_data:
-            clip = dino = None      # encoders unused: features are random
-        else:
-            from pcdms_tpu.models.vit import vit_init
-            clip = vit_init(k3, clip_vit_h14_config())
-            dino = vit_init(k4, dinov2_giant_config())
+        vae, clip, dino = frozen(
+            lambda: vae_init(k2),
+            lambda: vit_init(k3, clip_vit_h14_config()),
+            lambda: vit_init(k4, dinov2_giant_config()))
     else:
         from pcdms_tpu.compat.load import (
             load_clip_vision, load_dinov2, load_sd_unet, load_sd_vae,
@@ -120,12 +127,10 @@ def build_models(args):
         # (ignore_mismatched_sizes=True equivalent)
         unet = _grow_conv_in(unet, unet_cfg, k1)
         unet = _maybe_init_class_embedding(unet, unet_cfg, k1)
-        vae = load_sd_vae(args.pretrained_model_name_or_path)
-        if args.synthetic_data:
-            clip = dino = None      # synthetic features: encoders unused
-        else:
-            clip = load_clip_vision(args.image_encoder_g_path)
-            dino = load_dinov2(args.image_encoder_p_path)
+        vae, clip, dino = frozen(
+            lambda: load_sd_vae(args.pretrained_model_name_or_path),
+            lambda: load_clip_vision(args.image_encoder_g_path),
+            lambda: load_dinov2(args.image_encoder_p_path))
 
     trainable = {
         "unet": unet,

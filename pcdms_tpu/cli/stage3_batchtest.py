@@ -46,6 +46,14 @@ def parse_args(argv=None):
     p.add_argument("--grid_output", action="store_true",
                    help="also save [source | gen | refined | GT] grids "
                         "(stage3_batchtest_refined_model.py:190-209)")
+    p.add_argument("--train_ckpt_dir", type=str, default=None,
+                   help="orbax checkpoint dir of a stage-3 training run "
+                        "(cli/stage3_train.py --output_dir): load the "
+                        "trained {unet, image_proj} (EMA if tracked); "
+                        "pair with --frozen_dir")
+    p.add_argument("--frozen_dir", type=str, default=None,
+                   help="frozen-encoder bundle the training run used "
+                        "(train/frozen.py: vae + dino)")
     return p.parse_args(argv)
 
 
@@ -77,7 +85,16 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 4)
 
-    if args.random_init:
+    if args.train_ckpt_dir:
+        from pcdms_tpu.train.frozen import load_frozen, load_trained_params
+        if not args.frozen_dir:
+            raise SystemExit("--train_ckpt_dir needs --frozen_dir (the "
+                             "VAE/DINOv2 the run trained against)")
+        params = dict(load_trained_params(args.train_ckpt_dir))
+        bundle = load_frozen(args.frozen_dir)
+        params["vae"] = bundle["vae"]
+        dino = bundle["dino"]
+    elif args.random_init:
         params = {
             "unet": unet_init(ks[0], unet_cfg),
             "image_proj": image_proj_mlp_init(ks[1], **proj_kwargs),

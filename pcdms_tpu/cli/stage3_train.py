@@ -45,8 +45,17 @@ def build_models(args):
 
     from pcdms_tpu.models.vit import dinov2_giant_config, vit_init
 
+    from pcdms_tpu.train.frozen import frozen_dir_or_build
+
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def frozen(vae_b, dino_b):
+        builders = {"vae": vae_b}
+        if not args.synthetic_data:
+            builders["dino"] = dino_b
+        f = frozen_dir_or_build(args.frozen_dir, builders)
+        return f["vae"], f.get("dino")
 
     if args.tiny_config:
         from pcdms_tpu.cli.common import tiny_configs
@@ -59,8 +68,8 @@ def build_models(args):
             "image_proj": image_proj_mlp_init(
                 k4, **tiny.image_proj_kwargs),
         }
-        vae = vae_init(k2, tiny.vae)
-        dino = None if args.synthetic_data else vit_init(k3, tiny.dino)
+        vae, dino = frozen(lambda: vae_init(k2, tiny.vae),
+                           lambda: vit_init(k3, tiny.dino))
         aux = ModelAux(vae_cfg=tiny.vae, dino_cfg=tiny.dino, dino_tokens=5,
                        dino_dim=tiny.dino.hidden_size)
         return unet_cfg, trainable, vae, dino, aux
@@ -70,9 +79,8 @@ def build_models(args):
         unet_cfg = dataclasses.replace(unet_cfg, remat=True)
     if args.random_init:
         unet = unet_init(k1, unet_cfg)
-        vae = vae_init(k2)
-        dino = None if args.synthetic_data else \
-            vit_init(k3, dinov2_giant_config())
+        vae, dino = frozen(lambda: vae_init(k2),
+                           lambda: vit_init(k3, dinov2_giant_config()))
     else:
         from pcdms_tpu.compat.load import (
             load_dinov2, load_sd_unet, load_sd_vae,
@@ -80,9 +88,9 @@ def build_models(args):
         from pcdms_tpu.cli.stage2_train import _grow_conv_in
         unet = load_sd_unet(args.pretrained_model_name_or_path)
         unet = _grow_conv_in(unet, unet_cfg, k1)   # 4ch -> 8ch
-        vae = load_sd_vae(args.pretrained_model_name_or_path)
-        dino = None if args.synthetic_data else \
-            load_dinov2(args.image_encoder_p_path)
+        vae, dino = frozen(
+            lambda: load_sd_vae(args.pretrained_model_name_or_path),
+            lambda: load_dinov2(args.image_encoder_p_path))
     trainable = {"unet": unet, "image_proj": image_proj_mlp_init(k4)}
     return unet_cfg, trainable, vae, dino, ModelAux()
 
