@@ -54,12 +54,19 @@ def save_frozen(directory: str, frozen: Dict[str, Any]):
 
 
 def load_frozen(directory: str) -> Dict[str, Any]:
-    """Load a bundle saved by :func:`save_frozen` (template-free)."""
+    """Load a bundle saved by :func:`save_frozen` (template-free).
+
+    Returned as host numpy trees: orbax restores arrays *committed* to
+    one device, which jit refuses to mix with mesh-sharded batch inputs
+    ("incompatible devices"); numpy params are uncommitted and follow
+    the computation's sharding like a fresh init."""
+    import jax
+
     directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         raise FileNotFoundError(f"no frozen bundle at {directory}")
     ckptr = ocp.StandardCheckpointer()
-    out = ckptr.restore(directory)
+    out = jax.device_get(ckptr.restore(directory))
     ckptr.close()
     logger.info("frozen bundle loaded from %s (%s)", directory,
                 sorted(out))
@@ -108,11 +115,15 @@ def load_trained_params(ckpt_dir: str, step: Optional[int] = None,
     ``train.common.ema_params``. The optimizer state is restored as
     plain arrays and dropped (inference CLIs don't know the run's
     TrainConfig, so no state template can be built)."""
+    import jax
+
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
-    restored = mgr.restore(step)
+    # host numpy: restored arrays are committed to one device, which jit
+    # refuses to mix with mesh-sharded inputs (see load_frozen)
+    restored = jax.device_get(mgr.restore(step))
     mgr.close()
     if prefer_ema and "ema_params" in restored:
         logger.info("loaded EMA params from %s step %d", ckpt_dir, step)
