@@ -474,6 +474,40 @@ class TestServeCLI:
         finally:
             svc.close()
 
+    def test_multi_canvas_deployment(self):
+        """--canvas H W (repeatable) launches N pre-warmed engines
+        sharing one parameter set behind a ShapeRouter + one HTTP port;
+        out-of-policy shapes get HTTP 400, never a recompile
+        (cli/serve.py build_deployment; VERDICT r4 #5)."""
+        from pcdms_tpu.cli.serve import build_deployment
+        from pcdms_tpu.serve.http import ServingServer, post_npz
+        from pcdms_tpu.serve.router import ShapeRouter
+
+        args = self._args("--model", "stage2",
+                          "--canvas", "64", "64",
+                          "--canvas", "64", "128")
+        dep = build_deployment(args)
+        assert isinstance(dep, ShapeRouter)
+        assert dep.canvases == [(64, 128), (64, 256)]
+        with ServingServer(dep, port=0) as server:
+            std = request_inputs(0)
+            out = post_npz("127.0.0.1", server.port, std, timeout=300)
+            assert out["image"].shape == (64, 128, 3)
+
+            wide = dict(std)
+            rng = np.random.default_rng(1)
+            wide["vae_image"] = rng.uniform(
+                -1, 1, (64, 256, 3)).astype(np.float32)
+            wide["st_pose"] = rng.uniform(
+                -1, 1, (64, 256, 3)).astype(np.float32)
+            out = post_npz("127.0.0.1", server.port, wide, timeout=300)
+            assert out["image"].shape == (64, 256, 3)
+
+            bad = dict(std)
+            bad["vae_image"] = np.zeros((48, 96, 3), np.float32)
+            with pytest.raises(RuntimeError, match="HTTP 400"):
+                post_npz("127.0.0.1", server.port, bad, timeout=300)
+
     def test_seed_portable_across_services(self):
         """One seed derivation across --model flavors: feeding a
         cascade's predicted embedding to a stage-2 service with the
