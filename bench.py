@@ -125,7 +125,8 @@ def _cascade(batch, height, reps, tiny, enc_prop=1):
     }))
 
 
-def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42):
+def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42,
+         sequential=False):
     """End-to-end batch-test throughput: PIL loads + canvas pasting +
     CLIP preprocessing + DINOv2 encode + device sampling (best-of-N
     candidates, CFG) + device->host readback + SSIM selection + PNG
@@ -196,6 +197,8 @@ def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42):
                 "--seed", str(seed), "--random_init"]
         if tiny:
             argv.append("--tiny_config")
+        if sequential:                  # the reference's ordering (A/B)
+            argv.append("--sequential")
 
         batchtest_main(argv + ["--save_path", os.path.join(root, "warm")])
         t0 = time.perf_counter()
@@ -216,7 +219,9 @@ def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42):
     print(json.dumps({
         "metric": f"stage2 batchtest END-TO-END {height}px {steps}-step "
                   f"UniPC best-of-{samples} (host prep + DINOv2 + "
-                  f"sampling + SSIM select + PNG writes)",
+                  f"sampling + SSIM select + PNG writes"
+                  + (", sequential — reference ordering)" if sequential
+                     else ", pipelined)"),
         "value": round(ips, 4),
         "unit": "final images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
@@ -232,7 +237,8 @@ def main():
             steps=int(os.environ.get("BENCH_STEPS", "20")),
             batch_pairs=int(os.environ.get("BENCH_BATCH", "2")),
             samples=int(os.environ.get("BENCH_SAMPLES", "4")),
-            tiny=os.environ.get("BENCH_TINY", "0") == "1")
+            tiny=os.environ.get("BENCH_TINY", "0") == "1",
+            sequential=os.environ.get("BENCH_SEQUENTIAL", "0") == "1")
     if os.environ.get("BENCH_CASCADE", "0") == "1":
         return _cascade(
             batch=int(os.environ.get("BENCH_BATCH", "8")),

@@ -49,6 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--weights_name", type=str, default=None,
                    help="trained stage-2 monolithic checkpoint (.pt) — "
                         "the distillation teacher")
+    p.add_argument("--train_ckpt_dir", type=str, default=None,
+                   help="orbax checkpoint dir of a cli/stage2_train run "
+                        "to use as the teacher (EMA preferred); "
+                        "alternative to --weights_name — pair with the "
+                        "run's --frozen_dir so the student trains "
+                        "against the same frozen encoders")
     p.add_argument("--image_encoder_p_path", type=str, default=None)
     p.add_argument("--image_encoder_g_path", type=str, default=None)
     # condition dropout stays OFF for distillation: the student always
@@ -76,8 +82,19 @@ def build_teacher_and_student(args):
     from pcdms_tpu.models.vae import vae_init
     from pcdms_tpu.train.lcm_distill import init_student_from_teacher
 
+    from pcdms_tpu.train.frozen import frozen_dir_or_build
+
     key = jax.random.PRNGKey(args.seed)
     ks = jax.random.split(key, 8)
+
+    def frozen(vae_b, clip_b, dino_b):
+        """Resolve {vae, clip, dino} through the --frozen_dir bundle
+        (same contract as cli/stage2_train.build_models)."""
+        builders = {"vae": vae_b}
+        if not args.synthetic_data:
+            builders.update(clip=clip_b, dino=dino_b)
+        f = frozen_dir_or_build(args.frozen_dir, builders)
+        return f["vae"], f.get("clip"), f.get("dino")
 
     if args.tiny_config:
         from pcdms_tpu.cli.common import tiny_configs
@@ -91,11 +108,9 @@ def build_teacher_and_student(args):
             "pose_proj": pose_cond_embedding_init(
                 ks[2], **tiny.pose_proj_kwargs),
         }
-        vae = vae_init(ks[3], tiny.vae)
-        clip = dino = None
-        if not args.synthetic_data:
-            clip = vit_init(ks[4], tiny.clip)
-            dino = vit_init(ks[5], tiny.dino)
+        vae, clip, dino = frozen(lambda: vae_init(ks[3], tiny.vae),
+                                 lambda: vit_init(ks[4], tiny.clip),
+                                 lambda: vit_init(ks[5], tiny.dino))
         aux = ModelAux(vae_cfg=tiny.vae, clip_cfg=tiny.clip,
                        dino_cfg=tiny.dino, dino_tokens=5,
                        dino_dim=tiny.dino.hidden_size,
@@ -106,33 +121,37 @@ def build_teacher_and_student(args):
         )
         teacher_cfg = stage2_unet_config()
         if args.random_init:
+            from pcdms_tpu.models.vit import vit_init
             teacher = {
                 "unet": unet_init(ks[0], teacher_cfg),
                 "image_proj": image_proj_mlp_init(ks[1]),
                 "pose_proj": pose_cond_embedding_init(ks[2]),
             }
-            vae = vae_init(ks[3])
-            clip = dino = None
-            if not args.synthetic_data:
-                from pcdms_tpu.models.vit import vit_init
-                clip = vit_init(ks[4], clip_vit_h14_config())
-                dino = vit_init(ks[5], dinov2_giant_config())
+            vae, clip, dino = frozen(
+                lambda: vae_init(ks[3]),
+                lambda: vit_init(ks[4], clip_vit_h14_config()),
+                lambda: vit_init(ks[5], dinov2_giant_config()))
         else:
             from pcdms_tpu.compat.load import (
                 load_clip_vision, load_dinov2,
                 load_pcdms_stage2_checkpoint, load_sd_vae,
             )
-            if not args.weights_name:
-                raise SystemExit("--weights_name (trained stage-2 "
-                                 "teacher) required without "
-                                 "--random_init")
-            teacher = load_pcdms_stage2_checkpoint(args.weights_name)
+            if not (args.weights_name or args.train_ckpt_dir):
+                raise SystemExit("--weights_name or --train_ckpt_dir "
+                                 "(trained stage-2 teacher) required "
+                                 "without --random_init")
+            teacher = (load_pcdms_stage2_checkpoint(args.weights_name)
+                       if args.weights_name else None)
             vae = load_sd_vae(args.pretrained_model_name_or_path)
             clip = dino = None
             if not args.synthetic_data:
                 clip = load_clip_vision(args.image_encoder_g_path)
                 dino = load_dinov2(args.image_encoder_p_path)
         aux = ModelAux()
+
+    if args.train_ckpt_dir:
+        from pcdms_tpu.train.frozen import load_trained_params
+        teacher = load_trained_params(args.train_ckpt_dir)
 
     student_cfg = dataclasses.replace(
         teacher_cfg, time_cond_proj_dim=args.time_cond_proj_dim,

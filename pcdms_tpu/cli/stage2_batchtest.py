@@ -74,6 +74,13 @@ def parse_args(argv=None):
                    help="frozen-encoder bundle the training run used "
                         "(train/frozen.py: vae + dino, clip for "
                         "train-mode conditioning)")
+    p.add_argument("--sequential", action="store_true",
+                   help="disable the host/device pipelining: block on "
+                        "each batch's readback + SSIM select + PNG "
+                        "writes before prepping the next (the "
+                        "reference's ordering, stage2_batchtest_"
+                        "inpaint_model.py:188-225) — for the A/B in "
+                        "PERF.md, not production use")
     return p.parse_args(argv)
 
 
@@ -270,6 +277,9 @@ def main(argv=None):
             **gen_kwargs)
         from pcdms_tpu.cli.common import device_uint8
         dev_images = device_uint8(images)       # async dispatch, no block
+        if args.sequential:
+            finish((chunk, dev_images, t_imgs, start, n))
+            continue
         if pending is not None:
             finish(pending)
         pending = (chunk, dev_images, t_imgs, start, n)

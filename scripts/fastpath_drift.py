@@ -23,7 +23,21 @@ rougher than a trained one's, so these drifts are a conservative proxy;
 trained-checkpoint FID validation stays gated on released weights
 (PARITY.md).
 
+Trained mode (--train_ckpt_dir + --frozen_dir + --data_root): the same
+table measured on a REAL trained checkpoint — the learning-proof run's
+tiny stage-2 on its synthetic pose-transfer world
+(scripts/learning_proof.py) — with real test-pair inputs (canvases,
+skeleton renders, frozen-DINOv2 features, oracle CLIP conditioning)
+instead of noise. --lcm_ckpt_dir additionally scores an actually
+DISTILLED 4-step student (cli/lcm_distill.py) against the same exact
+reference, replacing the undistilled teacher-equal floor with the real
+operating point. This closes the random-weights caveat above at tiny
+scale (VERDICT r4 #2).
+
 Usage: PYTHONPATH=. python scripts/fastpath_drift.py [--tiny] [--height 512]
+  trained: JAX_PLATFORMS=cpu python scripts/fastpath_drift.py \
+      --train_ckpt_dir /tmp/lp/s2 --frozen_dir /tmp/lp/frozen \
+      --data_root /tmp/lp [--lcm_ckpt_dir /tmp/lp/lcm]
 """
 
 import argparse
@@ -54,6 +68,17 @@ def main():
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--exact_steps", type=int, default=50)
+    ap.add_argument("--train_ckpt_dir", type=str, default=None,
+                    help="orbax stage-2 training checkpoint (tiny "
+                         "config, e.g. the learning-proof run)")
+    ap.add_argument("--frozen_dir", type=str, default=None,
+                    help="the run's frozen {vae, clip, dino} bundle")
+    ap.add_argument("--data_root", type=str, default=None,
+                    help="synthetic-world root (test_pairs.json) for "
+                         "real inputs in trained mode")
+    ap.add_argument("--lcm_ckpt_dir", type=str, default=None,
+                    help="cli/lcm_distill output: score the DISTILLED "
+                         "4-step student instead of only the floor")
     args = ap.parse_args()
 
     from pcdms_tpu.models.projections import (
@@ -64,9 +89,14 @@ def main():
     from pcdms_tpu.pipelines.stage2_inpaint import stage2_generate
     from pcdms_tpu.train.lcm_distill import init_student_from_teacher
 
+    trained = bool(args.train_ckpt_dir)
+    if trained and not (args.frozen_dir and args.data_root):
+        raise SystemExit("--train_ckpt_dir needs --frozen_dir and "
+                         "--data_root")
+
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
-    if args.tiny:
+    if args.tiny or trained:
         from pcdms_tpu.cli.common import tiny_configs
         t = tiny_configs()
         unet_cfg, vae_cfg = t.unet2(True), t.vae
@@ -83,23 +113,71 @@ def main():
     b = args.batch
 
     def bf16(tree):
+        if trained:                      # trained tiny ckpts stay f32
+            return tree
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, tree)
 
-    params = {
-        "unet": bf16(unet_init(ks[0], unet_cfg)),
-        "image_proj": bf16(image_proj_mlp_init(ks[1], **ip_kw)),
-        "pose_proj": bf16(pose_cond_embedding_init(ks[2], **pp_kw)),
-        "vae": bf16(vae_init(ks[3], vae_cfg)),
-    }
+    if trained:
+        import os
 
-    vae_image = jax.random.uniform(ks[4], (b, height, width, 3),
-                                   jnp.float32, -1, 1)
-    st_pose = jax.random.uniform(ks[5], (b, height, width, 3),
-                                 jnp.float32, -1, 1)
-    dino = jax.random.normal(ks[6], (b,) + dino_shape, jnp.float32)
-    t_embed = jax.random.normal(ks[7], (b, 1, embed_dim), jnp.float32)
+        from pcdms_tpu.data.datasets import PairList
+        from pcdms_tpu.data.preprocess import (
+            black_like, clip_preprocess, load_image, make_side_by_side,
+            to_neg1_1,
+        )
+        from pcdms_tpu.train.encoders import clip_image_embed, dino_features
+        from pcdms_tpu.train.frozen import load_frozen, load_trained_params
+
+        params = dict(load_trained_params(args.train_ckpt_dir))
+        frozen = load_frozen(args.frozen_dir)
+        params["vae"] = frozen["vae"]
+
+        pairs = PairList(os.path.join(args.data_root, "test_pairs.json"),
+                         args.data_root).pairs[:b]
+        size = (height, height)
+        s_imgs = [load_image(os.path.join(
+            args.data_root, p["source_image"]), size) for p in pairs]
+        t_imgs = [load_image(os.path.join(
+            args.data_root, p["target_image"]), size) for p in pairs]
+
+        def pose_path(p, k):
+            stem = os.path.basename(p[k]).rsplit(".", 1)[0]
+            return os.path.join(args.data_root, "openpose_all_img",
+                                stem + "_pose.jpg")
+        s_poses = [load_image(pose_path(p, "source_image"), size)
+                   for p in pairs]
+        t_poses = [load_image(pose_path(p, "target_image"), size)
+                   for p in pairs]
+
+        vae_image = jnp.asarray(np.stack(
+            [to_neg1_1(make_side_by_side(s, black_like(s)))
+             for s in s_imgs]))
+        st_pose = jnp.asarray(np.stack(
+            [to_neg1_1(make_side_by_side(sp, tp))
+             for sp, tp in zip(s_poses, t_poses)]))
+        dino = dino_features(frozen["dino"], np.stack(
+            [clip_preprocess(s) for s in s_imgs]), cfg=t.dino)
+        # oracle (train-mode) conditioning: GT target CLIP embedding
+        t_embed = clip_image_embed(frozen["clip"], np.stack(
+            [clip_preprocess(ti) for ti in t_imgs]),
+            cfg=t.clip)[:, None, :]
+        b = len(pairs)
+    else:
+        params = {
+            "unet": bf16(unet_init(ks[0], unet_cfg)),
+            "image_proj": bf16(image_proj_mlp_init(ks[1], **ip_kw)),
+            "pose_proj": bf16(pose_cond_embedding_init(ks[2], **pp_kw)),
+            "vae": bf16(vae_init(ks[3], vae_cfg)),
+        }
+        vae_image = jax.random.uniform(ks[4], (b, height, width, 3),
+                                       jnp.float32, -1, 1)
+        st_pose = jax.random.uniform(ks[5], (b, height, width, 3),
+                                     jnp.float32, -1, 1)
+        dino = jax.random.normal(ks[6], (b,) + dino_shape, jnp.float32)
+        t_embed = jax.random.normal(ks[7], (b, 1, embed_dim), jnp.float32)
+
     latents = jax.random.normal(jax.random.PRNGKey(42),
                                 (b, height // 8, width // 8, 4),
                                 jnp.float32)
@@ -135,6 +213,14 @@ def main():
     variants.append(
         ("LCM 4-step (teacher-equal student, undistilled floor)",
          lambda: gen(4, scheduler="lcm", cfg=lcm_cfg, p=lcm_params)))
+
+    if args.lcm_ckpt_dir:
+        from pcdms_tpu.train.frozen import load_trained_params
+        distilled = dict(load_trained_params(args.lcm_ckpt_dir))
+        distilled["vae"] = params["vae"]
+        variants.append(
+            ("LCM 4-step (DISTILLED student, cli/lcm_distill)",
+             lambda: gen(4, scheduler="lcm", cfg=lcm_cfg, p=distilled)))
 
     print(f"\n| variant | PSNR vs exact (dB) | cosine |")
     print(f"|---|---|---|")
