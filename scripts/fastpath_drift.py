@@ -134,22 +134,18 @@ def main():
         frozen = load_frozen(args.frozen_dir)
         params["vae"] = frozen["vae"]
 
-        pairs = PairList(os.path.join(args.data_root, "test_pairs.json"),
-                         args.data_root).pairs[:b]
+        plist = PairList(os.path.join(args.data_root, "test_pairs.json"),
+                         args.data_root)
+        pairs = plist.pairs[:b]
         size = (height, height)
-        s_imgs = [load_image(os.path.join(
-            args.data_root, p["source_image"]), size) for p in pairs]
-        t_imgs = [load_image(os.path.join(
-            args.data_root, p["target_image"]), size) for p in pairs]
-
-        def pose_path(p, k):
-            stem = os.path.basename(p[k]).rsplit(".", 1)[0]
-            return os.path.join(args.data_root, "openpose_all_img",
-                                stem + "_pose.jpg")
-        s_poses = [load_image(pose_path(p, "source_image"), size)
-                   for p in pairs]
-        t_poses = [load_image(pose_path(p, "target_image"), size)
-                   for p in pairs]
+        s_imgs = [load_image(plist.image_path(p["source_image"]), size)
+                  for p in pairs]
+        t_imgs = [load_image(plist.image_path(p["target_image"]), size)
+                  for p in pairs]
+        s_poses = [load_image(plist.pose_img_path(p["source_image"]),
+                              size) for p in pairs]
+        t_poses = [load_image(plist.pose_img_path(p["target_image"]),
+                              size) for p in pairs]
 
         vae_image = jnp.asarray(np.stack(
             [to_neg1_1(make_side_by_side(s, black_like(s)))
