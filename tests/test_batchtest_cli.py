@@ -126,6 +126,34 @@ class TestStage2CLIFastLane:
             assert img.shape == (64, 64, 3)
             assert img.std() > 0          # not a constant canvas
 
+    def test_sequential_matches_pipelined(self, monkeypatch, tmp_path,
+                                          dataset):
+        """--sequential (the reference's prep->sample->select ordering,
+        the PERF.md A/B baseline) must write byte-identical artifacts to
+        the default pipelined ordering — pipelining is a scheduling
+        change, never a numeric one. batch_size 1 forces multiple
+        batches through the deferred-finish path."""
+        from pcdms_tpu.cli.stage2_batchtest import main
+        root, json_path = dataset
+        monkeypatch.setattr(cli_common, "default_mesh", _mesh_of(1))
+        outs = {}
+        for mode in ("pipelined", "sequential"):
+            out_dir = str(tmp_path / mode)
+            main(["--json_path", json_path, "--image_root_path", root,
+                  "--save_path", out_dir, "--img_width", "64",
+                  "--img_height", "64", "--num_inference_steps", "2",
+                  "--num_images_per_prompt", "2", "--scheduler", "ddim",
+                  "--batch_size", "1", "--random_init", "--tiny_config",
+                  "--simple_variant"]
+                 + (["--sequential"] if mode == "sequential" else []))
+            outs[mode] = {
+                f"{s}_to_{t}": np.asarray(Image.open(
+                    os.path.join(out_dir, f"{s}_to_{t}.png")))
+                for s, t in PAIR_STEMS}
+        for k in outs["pipelined"]:
+            np.testing.assert_array_equal(outs["pipelined"][k],
+                                          outs["sequential"][k])
+
 
 class TestStage3CLISharded:
     pytestmark = pytest.mark.slow
