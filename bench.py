@@ -126,7 +126,7 @@ def _cascade(batch, height, reps, tiny, enc_prop=1):
 
 
 def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42,
-         sequential=False):
+         sequential=False, device_select=False):
     """End-to-end batch-test throughput: PIL loads + canvas pasting +
     CLIP preprocessing + DINOv2 encode + device sampling (best-of-N
     candidates, CFG) + device->host readback + SSIM selection + PNG
@@ -199,6 +199,8 @@ def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42,
             argv.append("--tiny_config")
         if sequential:                  # the reference's ordering (A/B)
             argv.append("--sequential")
+        if device_select:               # on-device best-of-N SSIM (A/B)
+            argv.append("--device_select")
 
         batchtest_main(argv + ["--save_path", os.path.join(root, "warm")])
         t0 = time.perf_counter()
@@ -220,8 +222,9 @@ def _e2e(pairs_n, height, steps, batch_pairs, samples, tiny, seed=42,
         "metric": f"stage2 batchtest END-TO-END {height}px {steps}-step "
                   f"UniPC best-of-{samples} (host prep + DINOv2 + "
                   f"sampling + SSIM select + PNG writes"
-                  + (", sequential — reference ordering)" if sequential
-                     else ", pipelined)"),
+                  + (", sequential — reference ordering" if sequential
+                     else ", pipelined")
+                  + (", device-select)" if device_select else ")"),
         "value": round(ips, 4),
         "unit": "final images/sec/chip",
         "vs_baseline": round(ips / baseline, 3),
@@ -238,7 +241,9 @@ def main():
             batch_pairs=int(os.environ.get("BENCH_BATCH", "2")),
             samples=int(os.environ.get("BENCH_SAMPLES", "4")),
             tiny=os.environ.get("BENCH_TINY", "0") == "1",
-            sequential=os.environ.get("BENCH_SEQUENTIAL", "0") == "1")
+            sequential=os.environ.get("BENCH_SEQUENTIAL", "0") == "1",
+            device_select=os.environ.get(
+                "BENCH_DEVICE_SELECT", "0") == "1")
     if os.environ.get("BENCH_CASCADE", "0") == "1":
         return _cascade(
             batch=int(os.environ.get("BENCH_BATCH", "8")),

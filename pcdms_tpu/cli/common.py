@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -207,3 +208,42 @@ def device_uint8(images):
     numpy_to_pil rounds; truncation would sit 1 LSB low)."""
     x = (images.astype(jnp.float32) + 1.0) * 127.5
     return jnp.round(jnp.clip(x, 0, 255)).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def device_select_best(images, gt_u8, num_samples):
+    """Best-of-N SSIM candidate selection ON DEVICE.
+
+    ``images``: (num_samples * n, H, W2, 3) float in [-1, 1] — the
+    pipeline's sample-major output (``per_item_latents`` layout:
+    ``images[s * n + j]`` is sample ``s`` of item ``j``). ``gt_u8``:
+    (n, H, W, 3) uint8 ground-truth targets; when W < W2 the candidates
+    are right-cropped to W first (the stage-2 canvas's generated half —
+    reference ``stage2_batchtest_inpaint_model.py:209-211``; for
+    stage-3, W == W2 and the crop is a no-op).
+
+    Protocol-faithful to the host path (``best_of_n_ssim``): candidates
+    are quantized to uint8 on device first (exactly what the saved PNG
+    holds, and what the reference's PIL-based scoring sees), both sides
+    are scored as uint8/255 with ``eval.ssim_jax`` (win 7, data range
+    1.0), first-max argmax like ``np.argmax``. Only the n SELECTED
+    uint8 candidates cross to the host — num_samples x less readback
+    than shipping every candidate, and the scipy SSIM host work
+    disappears entirely (it serializes against PNG writes on the
+    single-core host; see PERF.md round-5 A/B).
+
+    Returns ``(best_u8 (n, H, W, 3) uint8, best_idx (n,) int32)``.
+    f32-vs-f64 caveat: selection can differ from the host path only
+    when two candidates' SSIMs agree to ~1e-6 (eval/ssim_jax.py).
+    """
+    from pcdms_tpu.eval.ssim_jax import ssim_jax
+    n, h, w = gt_u8.shape[0], gt_u8.shape[1], gt_u8.shape[2]
+    u8 = device_uint8(images)[:, :, -w:, :]
+    cands = u8.reshape((num_samples, n, h, w, 3))
+    gt01 = gt_u8.astype(jnp.float32) / 255.0
+    scores = jax.vmap(
+        lambda c: ssim_jax(c.astype(jnp.float32) / 255.0, gt01))(cands)
+    best = jnp.argmax(scores, axis=0)                       # (n,)
+    best_u8 = jnp.take_along_axis(
+        cands, best[None, :, None, None, None], axis=0)[0]
+    return best_u8, best

@@ -74,6 +74,15 @@ def parse_args(argv=None):
                    help="frozen-encoder bundle the training run used "
                         "(train/frozen.py: vae + dino, clip for "
                         "train-mode conditioning)")
+    p.add_argument("--device_select", action="store_true",
+                   help="run the best-of-N SSIM candidate selection ON "
+                        "DEVICE (cli/common.device_select_best): only "
+                        "the selected candidate is read back "
+                        "(num_images_per_prompt x less transfer) and "
+                        "the host scipy-SSIM work disappears. Protocol-"
+                        "faithful (same uint8 scoring as the host "
+                        "path); selection can differ only on ~1e-6 "
+                        "SSIM ties (f32 vs f64)")
     p.add_argument("--sequential", action="store_true",
                    help="disable the host/device pipelining: block on "
                         "each batch's readback + SSIM select + PNG "
@@ -197,17 +206,23 @@ def main(argv=None):
         Deferred one batch behind dispatch so SSIM selection, PNG writes
         and the next batch's host prep all overlap the device sampling
         the reference serializes (stage2_batchtest_inpaint_model.py:
-        188-225 runs prep -> sample -> select strictly in sequence)."""
+        188-225 runs prep -> sample -> select strictly in sequence).
+        Under --device_select the selection already happened on device;
+        only the n chosen right-halves are read back here."""
         chunk, dev_images, t_imgs, start, n = pending
         images = np.asarray(dev_images)
         w = args.img_width
         for i, item in enumerate(chunk):
-            cands = images[i::n][:, :, w:, :]       # right halves
-            gt = to_neg1_1(t_imgs[i])
-            best = best_of_n_ssim(cands, gt)
+            if args.device_select:
+                best_img = images[i]
+            else:
+                cands = images[i::n][:, :, w:, :]   # right halves
+                gt = to_neg1_1(t_imgs[i])
+                best = best_of_n_ssim(cands, gt)
+                best_img = cands[best]
             s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
             t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
-            save_images(cands[best:best + 1],
+            save_images(best_img[None],
                         [os.path.join(args.save_path, f"{s}_to_{t}.png")])
         logger.info("processed %d/%d", min(start + bs, len(items)),
                     len(items))
@@ -275,8 +290,15 @@ def main(argv=None):
             num_samples=args.num_images_per_prompt,
             encoder_cache_interval=args.encoder_cache_interval,
             **gen_kwargs)
-        from pcdms_tpu.cli.common import device_uint8
-        dev_images = device_uint8(images)       # async dispatch, no block
+        if args.device_select:
+            from pcdms_tpu.cli.common import device_select_best
+            gt_u8 = np.stack([np.asarray(t_imgs[min(i, len(chunk) - 1)],
+                                         np.uint8) for i in range(n)])
+            dev_images, _ = device_select_best(
+                images, gt_u8, args.num_images_per_prompt)
+        else:
+            from pcdms_tpu.cli.common import device_uint8
+            dev_images = device_uint8(images)   # async dispatch, no block
         if args.sequential:
             finish((chunk, dev_images, t_imgs, start, n))
             continue

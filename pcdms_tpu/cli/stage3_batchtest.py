@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--tiny_config", action="store_true",
                    help="tiny-geometry models (CI / CPU smoke runs)")
+    p.add_argument("--device_select", action="store_true",
+                   help="best-of-N SSIM selection on device (see "
+                        "stage2_batchtest --device_select)")
     p.add_argument("--grid_output", action="store_true",
                    help="also save [source | gen | refined | GT] grids "
                         "(stage3_batchtest_refined_model.py:190-209)")
@@ -135,17 +138,21 @@ def main(argv=None):
         chunk, dev_images, host_gen, gt_imgs, start, n = pending
         images = np.asarray(dev_images)
         for i, item in enumerate(chunk):
-            cands = images[i::n]
-            best = best_of_n_ssim(cands, gt_imgs[i])
+            if args.device_select:
+                best_img = images[i]
+            else:
+                cands = images[i::n]
+                best = best_of_n_ssim(cands, gt_imgs[i])
+                best_img = cands[best]
             s = os.path.basename(item["source_image"]).rsplit(".", 1)[0]
             t = os.path.basename(item["target_image"]).rsplit(".", 1)[0]
-            save_images(cands[best:best + 1],
+            save_images(best_img[None],
                         [os.path.join(args.save_path, f"{s}_to_{t}.png")])
             if args.grid_output:
                 src_img = to_neg1_1(load_image(
                     pairs.image_path(item["source_image"]), size))
                 grid = np.concatenate(
-                    [_u8(src_img), _u8(host_gen[i]), cands[best],
+                    [_u8(src_img), _u8(host_gen[i]), best_img,
                      _u8(gt_imgs[i])], axis=1)
                 save_images(grid[None],
                             [os.path.join(args.save_path,
@@ -182,8 +189,18 @@ def main(argv=None):
             num_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, scheduler=args.scheduler,
             num_samples=args.num_images_per_prompt, **gen_kwargs)
-        from pcdms_tpu.cli.common import device_uint8
-        dev_images = device_uint8(images)       # async dispatch, no block
+        if args.device_select:
+            from pcdms_tpu.cli.common import device_select_best
+            # gt_imgs came from uint8 PIL via to_neg1_1 — recover the
+            # exact bytes the host path scores against
+            gt_u8 = np.stack([
+                np.rint((gt_imgs[min(i, len(chunk) - 1)] + 1.0) * 127.5)
+                .astype(np.uint8) for i in range(n)])
+            dev_images, _ = device_select_best(
+                images, gt_u8, args.num_images_per_prompt)
+        else:
+            from pcdms_tpu.cli.common import device_uint8
+            dev_images = device_uint8(images)   # async dispatch, no block
         if pending is not None:
             finish(pending)
         pending = (chunk, dev_images, host_gen, gt_imgs, start, n)
