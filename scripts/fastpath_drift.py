@@ -218,13 +218,39 @@ def main():
             ("LCM 4-step (DISTILLED student, cli/lcm_distill)",
              lambda: gen(4, scheduler="lcm", cfg=lcm_cfg, p=distilled)))
 
-    print(f"\n| variant | PSNR vs exact (dB) | cosine |")
-    print(f"|---|---|---|")
+    gt_ssim = None
+    if trained:
+        # task quality vs GT: SSIM of each variant's generated right
+        # half against the target image (what the batchtest protocol
+        # scores) — the correct lens for the DISTILLED student, whose
+        # objective moves it off the teacher's exact trajectory while
+        # (ideally) improving few-step sample quality
+        from pcdms_tpu.eval.metrics import compare_ssim
+
+        def gt_ssim(out):
+            vals = []
+            for i, ti in enumerate(t_imgs):
+                gen_u8 = np.rint(np.clip(
+                    (out[i, :, height:, :] + 1.0) * 127.5,
+                    0, 255)).astype(np.uint8)
+                vals.append(compare_ssim(
+                    gen_u8.astype(np.float32) / 127.5 - 1.0,
+                    to_neg1_1(ti), data_range=2.0, win_size=7))
+            return float(np.mean(vals))
+
+    hdr_gt = " SSIM vs GT |" if trained else ""
+    print(f"\n| variant | PSNR vs exact (dB) | cosine |{hdr_gt}")
+    print(f"|---|---|---|" + ("---|" if trained else ""))
+    if trained:
+        print(f"| exact DDIM {args.exact_steps} (reference) | — | — | "
+              f"{gt_ssim(exact):.4f} |", flush=True)
     for name, fn in variants:
         t0 = time.time()
         out = fn()
+        gt_col = f" {gt_ssim(out):.4f} |" if trained else ""
         print(f"| {name} | {psnr(exact, out):.2f} | "
-              f"{cosine(exact, out):.4f} |   <!-- {time.time()-t0:.0f}s -->",
+              f"{cosine(exact, out):.4f} |{gt_col}"
+              f"   <!-- {time.time()-t0:.0f}s -->",
               flush=True)
 
 
